@@ -1,0 +1,58 @@
+"""SparkSession factory with the engine's baseline configuration.
+
+Spec: BASELINE.json:6 — "AQE-tuned shuffle partitions"; BASELINE.json:15 —
+vectorized pandas/Arrow UDFs (Arrow must be enabled). All tuning lives here so
+every entry point (pytest, bench, spark-submit CLI, driver contract) runs with
+identical semantics.
+
+Scale note: these confs are written for a real multi-executor cluster at
+10^12-file scale — AQE re-plans shuffle partition counts at runtime, skew-join
+splits pathological partitions, and partition coalescing keeps small stages
+from drowning in task overhead. On local[N] the same confs apply unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# One knob: shuffle parallelism scales with cores (cluster: with executors).
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def build_session(
+    app_name: str = "codingchallenge-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with the engine baseline conf.
+
+    ``master=None`` defers to spark-submit / existing session (production
+    path: ``spark-submit --py-files engine.zip run_pipeline.py``). Tests and
+    bench pass ``local[N]`` explicitly.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    conf = {
+        # Adaptive execution: runtime shuffle-partition coalescing + skew-join
+        # splitting (BASELINE.json:6 "AQE-tuned shuffle partitions").
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Arrow data plane for pandas UDFs (BASELINE.json:15 "no per-row Python").
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+        ),
+        # Determinism: interpret timestamps in UTC everywhere.
+        "spark.sql.session.timeZone": "UTC",
+        # Keep driver-side collect for tests/oracle modest.
+        "spark.driver.maxResultSize": "2g",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
