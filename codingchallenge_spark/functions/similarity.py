@@ -1,0 +1,189 @@
+"""Vectorized similarity kernels — V1-V3 (SURVEY.md §2.8).
+
+Spec: BASELINE.json:6 — "pairwise scoring with vectorized pandas/Arrow UDFs
+computing batched Jaro-Winkler/Levenshtein and token-Jaccard similarities";
+BASELINE.json:15 — "no per-row Python". No string-similarity library exists in
+this environment (SURVEY.md §0), so the kernels are implemented in numpy,
+vectorized across the *batch* dimension: every loop below is over string
+POSITIONS (bounded by MAX_LEN), never over rows. Each iteration is one numpy
+op over the whole Arrow batch.
+
+Kernels operate on the normalized name keys (short strings); inputs are
+truncated to MAX_LEN (=64) chars — name keys beyond that contribute no
+discriminative signal for linkage.
+
+Conventions (documented because no external oracle library fixes them):
+- jaro_winkler: unconditional Winkler prefix boost (p=0.1, prefix ≤ 4);
+  both-empty → 1.0; one-empty → 0.0.
+- levenshtein_ratio = 1 − dist/max(len1, len2); both-empty → 1.0.
+- token_jaccard: |A∩B| / |A∪B|; both-empty → 1.0.
+
+The Levenshtein inner recurrence is linearized so the j-dependency becomes a
+prefix-min scan (np.minimum.accumulate): cur[j] = min(tmp[j], cur[j-1]+1)
+⇔ cur[j] = j + min_{k≤j}(tmp[k]−k), making each DP row one vectorized pass.
+Cross-check oracle in tests: Spark's JVM ``F.levenshtein``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+MAX_LEN = 64
+WINKLER_PREFIX_WEIGHT = 0.1
+WINKLER_MAX_PREFIX = 4
+
+
+def _encode(strs, max_len: int = MAX_LEN) -> tuple[np.ndarray, np.ndarray]:
+    """Pad/truncate a string sequence into a (N, max_len) uint32 codepoint
+    matrix + int32 length vector. 0 is the pad sentinel (never a real char)."""
+    s = pd.Series(strs, dtype=object).fillna("").astype(str).str.slice(0, max_len)
+    lens = s.str.len().to_numpy(dtype=np.int32)
+    n = len(s)
+    if n == 0:
+        return np.zeros((0, max_len), dtype=np.uint32), lens
+    joined = s.str.pad(max_len, side="right", fillchar="\x00").str.cat()
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    return codes.reshape(n, max_len), lens
+
+
+def levenshtein_batch(s1, s2, max_len: int = MAX_LEN) -> np.ndarray:
+    """Batched Levenshtein distance (int32), vectorized across the batch."""
+    a, la = _encode(s1, max_len)
+    b, lb = _encode(s2, max_len)
+    n = a.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    la_max = int(la.max(initial=0))
+    lb_max = int(lb.max(initial=0))
+    res = np.zeros(n, dtype=np.int32)
+    res[la == 0] = lb[la == 0]
+    if la_max == 0:
+        return res
+    jidx = np.arange(1, lb_max + 1, dtype=np.int32)
+    prev = np.tile(np.arange(lb_max + 1, dtype=np.int32), (n, 1))
+    bm = b[:, :lb_max]
+    for i in range(1, la_max + 1):
+        cost = (a[:, i - 1 : i] != bm).astype(np.int32)
+        tmp = np.minimum(prev[:, :-1] + cost, prev[:, 1:] + 1)
+        np.minimum(tmp, i + jidx, out=tmp)  # path through column 0 (= i)
+        tmp -= jidx
+        np.minimum.accumulate(tmp, axis=1, out=tmp)
+        tmp += jidx
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        cur[:, 1:] = tmp
+        prev = cur
+        hit = la == i
+        if hit.any():
+            res[hit] = prev[hit, lb[hit]]
+    return res
+
+
+def levenshtein_ratio_batch(s1, s2, max_len: int = MAX_LEN) -> np.ndarray:
+    dist = levenshtein_batch(s1, s2, max_len).astype(np.float64)
+    _, la = _encode(s1, max_len)
+    _, lb = _encode(s2, max_len)
+    denom = np.maximum(np.maximum(la, lb), 1).astype(np.float64)
+    out = 1.0 - dist / denom
+    out[(la == 0) & (lb == 0)] = 1.0
+    return out
+
+
+def jaro_winkler_batch(s1, s2, max_len: int = MAX_LEN) -> np.ndarray:
+    """Batched Jaro-Winkler similarity (float64 in [0,1])."""
+    a, la = _encode(s1, max_len)
+    b, lb = _encode(s2, max_len)
+    n, L = a.shape
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    la_max = int(la.max(initial=0))
+    w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)[:, None]  # match window
+    jpos = np.arange(L, dtype=np.int32)[None, :]
+    in_b = jpos < lb[:, None]
+    used_b = np.zeros((n, L), dtype=bool)
+    match_a = np.zeros((n, L), dtype=bool)
+    rows = np.arange(n)
+    for i in range(la_max):
+        cand = (
+            (b == a[:, i : i + 1])
+            & ~used_b
+            & in_b
+            & (jpos >= i - w)
+            & (jpos <= i + w)
+            & (i < la)[:, None]
+        )
+        has = cand.any(axis=1)
+        j = cand.argmax(axis=1)
+        used_b[rows[has], j[has]] = True
+        match_a[rows[has], i] = True
+    m = match_a.sum(axis=1)
+
+    # Transpositions: compare the two matched-char sequences in order.
+    ra = np.cumsum(match_a, axis=1) - 1
+    rb = np.cumsum(used_b, axis=1) - 1
+    seq_a = np.zeros((n, L), dtype=np.uint32)
+    seq_b = np.zeros((n, L), dtype=np.uint32)
+    r, c = np.nonzero(match_a)
+    seq_a[r, ra[r, c]] = a[r, c]
+    r, c = np.nonzero(used_b)
+    seq_b[r, rb[r, c]] = b[r, c]
+    t = ((seq_a != seq_b) & (jpos < m[:, None])).sum(axis=1) // 2
+
+    la_f = np.maximum(la, 1).astype(np.float64)
+    lb_f = np.maximum(lb, 1).astype(np.float64)
+    m_f = m.astype(np.float64)
+    m_safe = np.maximum(m_f, 1.0)
+    jaro = np.where(
+        m > 0, (m_f / la_f + m_f / lb_f + (m_f - t) / m_safe) / 3.0, 0.0
+    )
+    # Winkler boost: common prefix (≤4), positions valid in both strings.
+    k = WINKLER_MAX_PREFIX
+    eq = (a[:, :k] == b[:, :k]) & (np.arange(k)[None, :] < np.minimum(la, lb)[:, None])
+    pl = np.cumprod(eq, axis=1).sum(axis=1).astype(np.float64)
+    jw = jaro + pl * WINKLER_PREFIX_WEIGHT * (1.0 - jaro)
+    jw[(la == 0) & (lb == 0)] = 1.0
+    return jw
+
+
+def token_jaccard(c1: Column | str, c2: Column | str) -> Column:
+    """V3 native form — JVM-side, whole-stage-codegen'd Jaccard over token
+    arrays. Primary scoring path for token similarity (zero Python crossing)."""
+    a = F.col(c1) if isinstance(c1, str) else c1
+    b = F.col(c2) if isinstance(c2, str) else c2
+    uni = F.size(F.array_union(a, b))
+    inter = F.size(F.array_intersect(a, b))
+    return F.when(uni > 0, inter / uni).otherwise(F.lit(1.0))
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched pandas UDFs (scalar): adjacent UDFs in one projection are
+# evaluated in a single ArrowEvalPython pass (one JVM↔Python crossing).
+# ---------------------------------------------------------------------------
+
+@pandas_udf(DoubleType())
+def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return pd.Series(jaro_winkler_batch(s1, s2))
+
+
+@pandas_udf(DoubleType())
+def levenshtein_ratio_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return pd.Series(levenshtein_ratio_batch(s1, s2))
+
+
+@pandas_udf(DoubleType())
+def token_jaccard_udf(t1: pd.Series, t2: pd.Series) -> pd.Series:
+    """Parity twin of :func:`token_jaccard` (tested equal). The native
+    expression is the production path; this exists because the spec names
+    token-Jaccard among the pandas/Arrow UDF kernels."""
+    out = np.empty(len(t1), dtype=np.float64)
+    for i, (x, y) in enumerate(zip(t1, t2)):
+        sx = set(x) if x is not None else set()
+        sy = set(y) if y is not None else set()
+        u = len(sx | sy)
+        out[i] = (len(sx & sy) / u) if u else 1.0
+    return pd.Series(out)

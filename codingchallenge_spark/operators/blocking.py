@@ -1,0 +1,192 @@
+"""Blocking / candidate generation — operators B1-B4 (SURVEY.md §2.3).
+
+Spec: BASELINE.json:6 — "deterministic multi-pass blocking (sorted-neighborhood
+on normalized name/title keys plus token-based candidate generation via
+explode + hash-partitioned self-join) … with explicit salting for hot blocking
+keys".
+
+Scale design (the 10^12-file clause):
+- Token blocking self-joins on token. Block of size n emits n(n-1)/2 pairs —
+  *output* skew that AQE cannot fix after the fact, so hot tokens are capped
+  *before* the join via a broadcast anti-join against the (tiny) hot-token
+  list. High-df tokens carry no linkage signal anyway (they are the corpus's
+  stopwords/keywords).
+- Sorted-neighborhood must NOT use a global single-partition window. We
+  range-partition by the sort key, run the `lead` window per partition, and
+  recover cross-boundary pairs by re-windowing only the (tiny) set of rows
+  within w of each partition boundary. Cost: one repartitionByRange + one
+  narrow window + one small window — no O(N) single-task stage.
+- All pair sets are canonicalized (rid1 < rid2) and deduped so multi-pass
+  union is idempotent (B4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_TOKEN_DF_CAP = 100
+DEFAULT_SN_WINDOW = 4
+DEFAULT_SN_BUCKETS = 32
+
+
+def canonical_pairs(df: DataFrame, c1: str = "rid1", c2: str = "rid2") -> DataFrame:
+    """B4 — canonical order (rid1 < rid2), no self-pairs, dedup."""
+    return (
+        df.select(
+            F.least(c1, c2).alias("rid1"),
+            F.greatest(c1, c2).alias("rid2"),
+            *[c for c in df.columns if c not in (c1, c2)],
+        )
+        .filter(F.col("rid1") != F.col("rid2"))
+        .dropDuplicates(["rid1", "rid2"])
+    )
+
+
+def token_blocking(
+    records_norm: DataFrame,
+    df_cap: int = DEFAULT_TOKEN_DF_CAP,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """B2+B3 — explode tokens, drop hot tokens, hash-partitioned self-join.
+
+    Returns DataFrame[rid1, rid2, block_key] with rid1 < rid2, deduped.
+
+    The hot-token list is computed with one groupBy and broadcast (it is
+    small by construction: only tokens with df > cap). The self-join runs on
+    the exploded (rid, tok) relation repartitioned by token so both sides
+    co-locate; AQE skew-join splits any residual within-cap skew.
+    """
+    tok = records_norm.select("rid", F.explode("tokens").alias("tok"))
+    hot = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("tok")
+    )
+    # left_anti against the broadcast hot list: drops uninformative tokens
+    # AND bounds the worst-case block size (pair output ≤ cap²/2 per token).
+    cold = tok.join(F.broadcast(hot), "tok", "left_anti")
+    if num_partitions:
+        cold = cold.repartition(num_partitions, "tok")
+    a, b = cold.alias("a"), cold.alias("b")
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("a.rid") < F.col("b.rid"))
+        .select(
+            F.col("a.rid").alias("rid1"),
+            F.col("b.rid").alias("rid2"),
+            F.col("tok").alias("block_key"),
+        )
+        .dropDuplicates(["rid1", "rid2"])
+    )
+    return pairs
+
+
+def sorted_neighborhood(
+    records_norm: DataFrame,
+    window: int = DEFAULT_SN_WINDOW,
+    num_buckets: int = DEFAULT_SN_BUCKETS,
+) -> DataFrame:
+    """B1 — sorted-neighborhood blocking on (name_norm, rid).
+
+    Sort all records by the normalized name key and pair each record with its
+    ``window - 1`` successors. Scale form: range-partition on the key into
+    ``num_buckets`` ranges, window *within* each partition (narrow, parallel),
+    then patch the seams: rows within ``window`` of a partition edge are
+    re-windowed in a second, tiny pass restricted to edge neighborhoods.
+
+    Deterministic: sort key is (name_norm, rid) — total order, no ties.
+    Returns DataFrame[rid1, rid2, block_key] canonical + deduped.
+    """
+    keyed = records_norm.select("rid", "name_norm")
+    bucketed = keyed.repartitionByRange(num_buckets, "name_norm", "rid").withColumn(
+        "part", F.spark_partition_id()
+    )
+
+    def _pairs_over(df: DataFrame, part_col: str) -> DataFrame:
+        w = Window.partitionBy(part_col).orderBy("name_norm", "rid")
+        cols = []
+        for i in range(1, window):
+            cols.append(
+                F.struct(
+                    F.lead("rid", i).over(w).alias("rid2"),
+                    F.lead("name_norm", i).over(w).alias("key2"),
+                ).alias(f"n{i}")
+            )
+        exploded = (
+            df.select("rid", "name_norm", F.array(*cols).alias("nbrs"))
+            .select("rid", "name_norm", F.explode("nbrs").alias("n"))
+            .filter(F.col("n.rid2").isNotNull())
+        )
+        return exploded.select(
+            F.col("rid").alias("rid1"),
+            F.col("n.rid2").alias("rid2"),
+            F.concat(F.lit("sn:"), F.col("name_norm")).alias("block_key"),
+        )
+
+    inner = _pairs_over(bucketed, "part")
+
+    # Seam pass: first/last `window` rows of each range partition, re-windowed
+    # globally. This set has ≤ 2·window·num_buckets rows — tiny at any scale —
+    # so a single-partition window over it is safe.
+    wp = Window.partitionBy("part").orderBy("name_norm", "rid")
+    wpd = Window.partitionBy("part").orderBy(
+        F.col("name_norm").desc(), F.col("rid").desc()
+    )
+    edges = (
+        bucketed.withColumn("rn_a", F.row_number().over(wp))
+        .withColumn("rn_d", F.row_number().over(wpd))
+        .filter((F.col("rn_a") <= window) | (F.col("rn_d") <= window))
+        .select("rid", "name_norm", F.lit(0).alias("seam"))
+    )
+    seam = _pairs_over(edges, "seam")
+
+    return canonical_pairs(inner.unionByName(seam))
+
+
+def union_candidates(*pair_dfs: DataFrame) -> DataFrame:
+    """B4 — union multi-pass candidate sets, canonical + dedup.
+
+    Keeps the first-seen block_key per pair (min for determinism).
+    """
+    out = pair_dfs[0]
+    for df in pair_dfs[1:]:
+        out = out.unionByName(df)
+    return out.groupBy("rid1", "rid2").agg(F.min("block_key").alias("block_key"))
+
+
+def salted_join(
+    pairs: DataFrame,
+    records: DataFrame,
+    pair_key: str,
+    salt_buckets: int = 16,
+    select_alias: str | None = None,
+) -> DataFrame:
+    """Skew-safe attribute fan-in join (J3 with explicit salting, B3).
+
+    A hot record (one appearing in very many candidate pairs) makes the plain
+    pairs⋈records join skew on its rid. Salt deterministically: the pairs side
+    gets salt = xxhash64(other fields) mod S; the records side is exploded to
+    all S salts. Shuffle keys become (rid, salt) → the hot rid spreads over S
+    partitions. Deterministic (hash salt, no rand()).
+    """
+    salted_pairs = pairs.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col("rid1"), F.col("rid2")), F.lit(salt_buckets)).cast(
+            "int"
+        ),
+    )
+    salted_records = records.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    joined = salted_pairs.join(
+        salted_records,
+        (salted_pairs[pair_key] == salted_records["rid"])
+        & (salted_pairs["_salt"] == salted_records["_salt"]),
+    )
+    drop_cols = [salted_records["rid"], salted_pairs["_salt"], salted_records["_salt"]]
+    out = joined
+    for c in drop_cols:
+        out = out.drop(c)
+    return out

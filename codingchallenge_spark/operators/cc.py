@@ -1,0 +1,138 @@
+"""Transitive closure: large-star / small-star connected components (G1-G5).
+
+Spec: BASELINE.json:6 — "transitive closure via iterative connected-components
+(large-star/small-star label propagation on the pair graph) to emit entity
+cluster IDs". Algorithm: Kiveris et al., "Connected Components in MapReduce
+and Beyond" (SoCC 2014) — alternating large-star/small-star rounds converge in
+O(log n) rounds to a star graph per component whose center is the component's
+minimum node id.
+
+Pure DataFrame implementation (no GraphFrames — not installed, SURVEY.md §0):
+each round is two groupBy(min) + join + union passes. Per-round
+``localCheckpoint`` truncates the exploding lineage (G4); convergence is a
+cheap fingerprint action (count + sum of crc32) rather than a full exceptAll
+diff (G3). Optional durable ``iter_dir`` writes the edge set every round so an
+interrupted clustering stage resumes mid-iteration (BASELINE.json:14, EP3).
+
+Scale notes: every round shuffles on node id — hashed 64-hex strings, i.e.
+uniformly distributed keys; skew only arises from genuinely huge components,
+which the star construction itself flattens logarithmically. AQE handles the
+rest. No driver-side iteration over data (only the tiny fingerprint action).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon_edges(edges: DataFrame) -> DataFrame:
+    """Undirected canonical form: src < dst, no self-loops, deduped."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def large_star(edges: DataFrame) -> DataFrame:
+    """G1 — ∀u: connect every strictly-larger neighbor of u to
+    m(u) = min(Γ(u) ∪ {u})."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.select("src", F.least("src", "mn").alias("m"))
+    out = (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    return _canon_edges(out)
+
+
+def small_star(edges: DataFrame) -> DataFrame:
+    """G2 — direct each edge large→small; ∀u: connect u and all its smaller
+    neighbors to m(u) = min of those neighbors."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    mins = directed.groupBy("src").agg(F.min("dst").alias("m"))
+    out = (
+        directed.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .unionByName(mins.select("src", F.col("m").alias("dst")))
+    )
+    return _canon_edges(out)
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """Cheap order-insensitive edge-set fingerprint: one action per round."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.crc32(F.concat_ws("|", "src", "dst"))), F.lit(0)).alias(
+            "h"
+        ),
+    ).collect()[0]
+    return int(row.n), int(row.h)
+
+
+@dataclass
+class CCResult:
+    labels: DataFrame  # [rid, entity_id]
+    iterations: int
+    converged: bool
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iterations: int = 25,
+    iter_dir: str | None = None,
+) -> CCResult:
+    """G1-G5 — labels[rid, entity_id] with entity_id = min rid in component.
+
+    ``nodes`` (DataFrame with column ``rid``) adds isolated records, which
+    label themselves. ``iter_dir`` (optional) persists each round's edge set
+    as parquet for mid-stage resume.
+    """
+    spark = edges.sparkSession
+    cur = _canon_edges(edges.select("src", "dst")).localCheckpoint(eager=True)
+    prev_fp = _fingerprint(cur)
+    iterations = 0
+    converged = prev_fp[0] == 0
+    while not converged and iterations < max_iterations:
+        iterations += 1
+        nxt = small_star(large_star(cur))
+        if iter_dir is not None:
+            path = f"{iter_dir}/edges_iter_{iterations:03d}.parquet"
+            nxt.write.mode("overwrite").parquet(path)
+            nxt = spark.read.parquet(path)
+        else:
+            nxt = nxt.localCheckpoint(eager=True)
+        fp = _fingerprint(nxt)
+        converged = fp == prev_fp
+        prev_fp = fp
+        cur = nxt
+
+    # At the fixpoint every component is a star centered at its min node:
+    # labels = (dst → src) ∪ (src → src) ∪ isolated self-labels.
+    member = cur.select(F.col("dst").alias("rid"), F.col("src").alias("entity_id"))
+    center = cur.select(F.col("src").alias("rid"), F.col("src").alias("entity_id"))
+    labels = member.unionByName(center).groupBy("rid").agg(
+        F.min("entity_id").alias("entity_id")
+    )
+    if nodes is not None:
+        labels = (
+            nodes.select("rid")
+            .dropDuplicates(["rid"])
+            .join(labels, "rid", "left")
+            .select(
+                "rid", F.coalesce("entity_id", F.col("rid")).alias("entity_id")
+            )
+        )
+    return CCResult(labels=labels, iterations=iterations, converged=converged)

@@ -1,0 +1,153 @@
+"""Pairwise scoring over candidate pairs — J3, V4, V5 (SURVEY.md §2.4/2.8).
+
+Spec: BASELINE.json:6 — "pairwise scoring with vectorized pandas/Arrow UDFs
+computing batched Jaro-Winkler/Levenshtein and token-Jaccard similarities over
+candidate pairs".
+
+Plan shape at scale:
+  cand_pairs ⋈ records_norm(rid1) ⋈ records_norm(rid2)   (attribute fan-in)
+  → one ArrowEvalPython pass computing jw + lev (adjacent scalar pandas UDFs
+    batch into a single Python crossing)
+  → native (JVM) token-Jaccard + weighted blend + threshold.
+
+Only the *name keys and token arrays* travel into the joins — never
+``content`` (the wide column stays at the scan; SURVEY.md §4 column pruning).
+The fan-in join is optionally salted (operators.blocking.salted_join) when a
+record participates in pathologically many pairs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from codingchallenge_spark.functions.similarity import (
+    jaro_winkler_batch,
+    jaro_winkler_udf,
+    levenshtein_ratio_batch,
+    levenshtein_ratio_udf,
+    token_jaccard,
+)
+from codingchallenge_spark.operators.blocking import salted_join
+
+DEFAULT_WEIGHTS = {"jw": 0.2, "lev": 0.2, "jaccard": 0.6}
+DEFAULT_THRESHOLD = 0.72
+
+_ATTR_COLS = ["rid", "name_norm", "tokens"]
+
+SCORED_SCHEMA = (
+    "rid1 string, rid2 string, block_key string, "
+    "jw double, lev double, jaccard double, score double"
+)
+
+
+def attach_pair_attrs(
+    pairs: DataFrame, records_norm: DataFrame, salt_buckets: int = 0
+) -> DataFrame:
+    """J3 — candidate pairs ⋈ record attributes (twice: rid1 then rid2).
+
+    ``salt_buckets > 0`` switches to the deterministic salted join for hot
+    record ids (B3). Attribute projection is narrow: (rid, name_norm, tokens).
+    """
+    attrs = records_norm.select(*_ATTR_COLS)
+    a1 = attrs.select(
+        F.col("rid").alias("rid1"),
+        F.col("name_norm").alias("name1"),
+        F.col("tokens").alias("tokens1"),
+    )
+    a2 = attrs.select(
+        F.col("rid").alias("rid2"),
+        F.col("name_norm").alias("name2"),
+        F.col("tokens").alias("tokens2"),
+    )
+    if salt_buckets > 0:
+        out = salted_join(pairs, attrs, "rid1", salt_buckets)
+        out = out.withColumnsRenamed({"name_norm": "name1", "tokens": "tokens1"})
+        out = salted_join(out, attrs, "rid2", salt_buckets)
+        out = out.withColumnsRenamed({"name_norm": "name2", "tokens": "tokens2"})
+        return out
+    return pairs.join(a1, "rid1").join(a2, "rid2")
+
+
+def score_pairs(
+    pairs_with_attrs: DataFrame,
+    weights: dict[str, float] | None = None,
+    threshold: float = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """V1+V2 via one Arrow crossing, V3 native, V4 blend + threshold flag.
+
+    Returns scored_pairs[rid1, rid2, block_key?, jw, lev, jaccard, score].
+    """
+    w = weights or DEFAULT_WEIGHTS
+    scored = pairs_with_attrs.withColumns(
+        {
+            # Two scalar pandas UDFs in one projection → single
+            # ArrowEvalPython node (one JVM↔Python round trip per batch).
+            "jw": jaro_winkler_udf("name1", "name2"),
+            "lev": levenshtein_ratio_udf("name1", "name2"),
+            # JVM-side, codegen'd — no crossing at all.
+            "jaccard": token_jaccard("tokens1", "tokens2"),
+        }
+    ).withColumn(
+        "score",
+        F.col("jw") * F.lit(w["jw"])
+        + F.col("lev") * F.lit(w["lev"])
+        + F.col("jaccard") * F.lit(w["jaccard"]),
+    )
+    keep = [c for c in ("rid1", "rid2", "block_key") if c in pairs_with_attrs.columns]
+    return scored.select(*keep, "jw", "lev", "jaccard", "score")
+
+
+def score_pairs_map_in_pandas(
+    pairs_with_attrs: DataFrame,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """V5 — alternative single-pass scorer: ONE mapInPandas crossing computes
+    all three similarities per Arrow batch (tokens travel through Arrow once).
+    Benchmarked against :func:`score_pairs`; semantics identical."""
+    w = weights or DEFAULT_WEIGHTS
+    has_bk = "block_key" in pairs_with_attrs.columns
+    cols = ["rid1", "rid2"] + (["block_key"] if has_bk else []) + [
+        "name1", "name2", "tokens1", "tokens2",
+    ]
+    schema = SCORED_SCHEMA if has_bk else SCORED_SCHEMA.replace(
+        "block_key string, ", ""
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            jw = jaro_winkler_batch(pdf["name1"], pdf["name2"])
+            lev = levenshtein_ratio_batch(pdf["name1"], pdf["name2"])
+            jac = np.empty(len(pdf), dtype=np.float64)
+            for i, (x, y) in enumerate(zip(pdf["tokens1"], pdf["tokens2"])):
+                sx = set(x) if x is not None else set()
+                sy = set(y) if y is not None else set()
+                u = len(sx | sy)
+                jac[i] = (len(sx & sy) / u) if u else 1.0
+            out = {
+                "rid1": pdf["rid1"],
+                "rid2": pdf["rid2"],
+                "jw": jw,
+                "lev": lev,
+                "jaccard": jac,
+                "score": w["jw"] * jw + w["lev"] * lev + w["jaccard"] * jac,
+            }
+            if has_bk:
+                out["block_key"] = pdf["block_key"]
+            yield pd.DataFrame(out)
+
+    return pairs_with_attrs.select(*cols).mapInPandas(fn, schema)
+
+
+def edges_from_scores(
+    scored: DataFrame, threshold: float = DEFAULT_THRESHOLD
+) -> DataFrame:
+    """Threshold filter → match-graph edge list (input to CC)."""
+    return scored.filter(F.col("score") >= F.lit(threshold)).select(
+        F.col("rid1").alias("src"), F.col("rid2").alias("dst")
+    )

@@ -1,0 +1,71 @@
+"""The record-linkage plan: normalize → block → score → cluster → emit.
+
+This is the logical composition of every stage (SURVEY.md §3 EP1/EP2). It is
+pure DataFrame-in/DataFrame-out — the checkpointed, resumable production
+driver (plans.pipeline) materializes the same stages with stage sinks.
+
+Output contract (BASELINE.json:6/15): input columns byte-identical (content
+sha256 preserved) + ``content_sha`` + ``entity_id`` (min rid in the match
+component).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from codingchallenge_spark.functions.normalize import normalize_records
+from codingchallenge_spark.operators.blocking import (
+    DEFAULT_SN_WINDOW,
+    DEFAULT_TOKEN_DF_CAP,
+    sorted_neighborhood,
+    token_blocking,
+    union_candidates,
+)
+from codingchallenge_spark.operators.cc import connected_components
+from codingchallenge_spark.operators.scoring import (
+    DEFAULT_THRESHOLD,
+    DEFAULT_WEIGHTS,
+    attach_pair_attrs,
+    edges_from_scores,
+    score_pairs,
+)
+
+
+@dataclass
+class MatcherConfig:
+    token_df_cap: int = DEFAULT_TOKEN_DF_CAP
+    sn_window: int = DEFAULT_SN_WINDOW
+    sn_buckets: int = 32
+    weights: dict = field(default_factory=lambda: dict(DEFAULT_WEIGHTS))
+    threshold: float = DEFAULT_THRESHOLD
+    salt_buckets: int = 0  # >0 → salted attribute fan-in join
+    cc_max_iterations: int = 25
+
+
+def candidate_pairs(records_norm: DataFrame, cfg: MatcherConfig) -> DataFrame:
+    """Multi-pass blocking: token pass ∪ sorted-neighborhood pass (B1+B2+B4)."""
+    tok = token_blocking(records_norm, df_cap=cfg.token_df_cap)
+    sn = sorted_neighborhood(
+        records_norm, window=cfg.sn_window, num_buckets=cfg.sn_buckets
+    )
+    return union_candidates(tok, sn)
+
+
+def resolve_entities(
+    records: DataFrame, cfg: MatcherConfig | None = None
+) -> DataFrame:
+    """Full in-memory plan: records → records + content_sha + entity_id."""
+    cfg = cfg or MatcherConfig()
+    norm = normalize_records(records)
+    pairs = candidate_pairs(norm, cfg)
+    scored = score_pairs(
+        attach_pair_attrs(pairs, norm, salt_buckets=cfg.salt_buckets),
+        weights=cfg.weights,
+    )
+    edges = edges_from_scores(scored, threshold=cfg.threshold)
+    labels = connected_components(
+        edges, nodes=norm.select("rid"), max_iterations=cfg.cc_max_iterations
+    ).labels
+    return norm.drop("name_norm", "tokens").join(labels, "rid")

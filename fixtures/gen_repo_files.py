@@ -31,7 +31,10 @@ SIZES = {"tiny": 200, "small": 5000, "bench": 100_000}
 LANGS = ["py", "java", "scala", "c", "go", "js"]
 EXT = {"py": "py", "java": "java", "scala": "scala", "c": "c", "go": "go", "js": "js"}
 
-# Code-ish vocabulary (content tokens).
+# Code-ish vocabulary (content tokens): a small COMMON core (keywords,
+# builtins — high document frequency, dropped by the hot-key cap at blocking
+# time) plus a RARE identifier tail whose size scales with corpus size, like
+# identifiers in real code corpora. Blocking signal comes from rare tokens.
 _VOCAB_STEMS = [
     "parse", "token", "lexer", "emit", "node", "tree", "hash", "join", "merge",
     "sort", "scan", "index", "batch", "row", "column", "schema", "field",
@@ -44,7 +47,14 @@ _VOCAB_STEMS = [
     "thread", "lock", "mutex", "atomic", "state", "cache", "evict",
     "partition", "shuffle", "spill", "codegen", "plan", "stage", "task",
 ]
-VOCAB = [f"{s}{i}" for s in _VOCAB_STEMS for i in range(8)]  # 576 tokens
+COMMON_VOCAB = [f"{s}{i}" for s in _VOCAB_STEMS for i in range(8)]  # 576 tokens
+RARE_FRACTION = 0.3  # fraction of content drawn from the rare identifier tail
+
+
+def _rare_vocab(n_rows: int) -> list[str]:
+    # ~8 ids per row keeps per-token document frequency ~4 at any scale.
+    n = 8 * max(n_rows, 2500)
+    return [f"id_{i:06x}" for i in range(n)]
 
 # Basename stems (file "titles") — deliberately reused across entities so
 # unrelated files land adjacent in sorted-neighborhood order (hard negatives).
@@ -82,6 +92,16 @@ def _swap_chars(name: str, pos: int) -> str:
 
 def generate(n_rows: int, seed: int = SEED, hot_key: bool = False) -> RepoFilesFixture:
     rng = np.random.default_rng(seed)
+    rare = np.array(_rare_vocab(n_rows))
+    common = np.array(COMMON_VOCAB)
+
+    def draw_tokens(k: int) -> np.ndarray:
+        is_rare = rng.random(k) < RARE_FRACTION
+        out = common[rng.integers(len(common), size=k)].astype(object)
+        n_r = int(is_rare.sum())
+        if n_r:
+            out[is_rare] = rare[rng.integers(len(rare), size=n_r)]
+        return out
 
     # --- plant the entity partition: cluster sizes 1..6 -------------------
     sizes = []
@@ -100,7 +120,7 @@ def generate(n_rows: int, seed: int = SEED, hot_key: bool = False) -> RepoFilesF
         stem = NAME_STEMS[int(rng.integers(len(NAME_STEMS)))]
         base = f"{stem}_{int(rng.integers(100))}"
         n_tok = int(rng.integers(20, 201))
-        canon = rng.choice(VOCAB, size=n_tok, replace=True).tolist()
+        canon = draw_tokens(n_tok).tolist()
         entity_key = f"e{eid:07d}"
         for m in range(size):
             repo = f"org{(i * 7 + m) % 37}/proj{(i * 11 + m) % 101}"
@@ -116,7 +136,7 @@ def generate(n_rows: int, seed: int = SEED, hot_key: bool = False) -> RepoFilesF
                 tokens = list(canon)
                 k = max(1, int(0.08 * len(tokens)))
                 idx = rng.choice(len(tokens), size=k, replace=False)
-                repl = rng.choice(VOCAB, size=k, replace=True)
+                repl = draw_tokens(k)
                 for j, t in zip(idx, repl):
                     tokens[int(j)] = str(t)
             path = f"{dirseg}/{name}.{EXT[lang]}"
@@ -135,7 +155,7 @@ def generate(n_rows: int, seed: int = SEED, hot_key: bool = False) -> RepoFilesF
         for h in range(2000):
             repo = f"hot{h % 13}/lic{h % 29}"
             commit = _commit(seed + 1, h)
-            filler = rng.choice(VOCAB, size=30, replace=True).tolist()
+            filler = draw_tokens(30).tolist()
             content = "license copyright permission notice " + " ".join(filler)
             path = f"docs/license_{h % 7}.txt"
             rows.append(
