@@ -3,36 +3,80 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``codingchallenge_spark``; the query registry is
+``codingchallenge_spark.plans.query_pack`` (Spark callable + DuckDB SQL twin
+per operator from SURVEY.md §2).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
+import zipfile
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO_ROOT = Path(__file__).resolve().parent
+sys.path.insert(0, str(_REPO_ROOT))
+
+from codingchallenge_spark.plans import query_pack  # noqa: E402
+
+
+def _ensure_executors_have_package(spark: SparkSession) -> None:
+    """Ship codingchallenge_spark to executor Python workers.
+
+    The driver process imports the package via sys.path above, but executor
+    workers deserializing pandas-UDF closures need it on THEIR path — the
+    same problem `spark-submit --py-files engine.zip` solves in production
+    (BASELINE.json:6). Harmless no-op when already registered.
+    """
+    if getattr(spark, "_ccspark_pyfiles_added", False):
+        return
+    pkg = _REPO_ROOT / "codingchallenge_spark"
+    zpath = Path(tempfile.gettempdir()) / f"ccspark_pyfiles_{os.getpid()}.zip"
+    if not zpath.exists():
+        with zipfile.ZipFile(zpath, "w") as z:
+            for p in sorted(pkg.rglob("*.py")):
+                z.write(p, p.relative_to(_REPO_ROOT))
+    try:
+        spark.sparkContext.addPyFile(str(zpath))
+    except Exception:
+        pass  # e.g. Spark Connect session without sparkContext — path-only
+    spark._ccspark_pyfiles_added = True
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the full record-linkage
+    slice (normalize → multi-pass blocking → vectorized scoring → large-star/
+    small-star connected components) over the documents table mapped to the
+    (repo, path, commit, lang, content) input shape."""
+    from codingchallenge_spark.plans.matcher import MatcherConfig, resolve_entities
+    from codingchallenge_spark.sources.records import documents_as_records
+
+    _ensure_executors_have_package(spark)
+    recs = documents_as_records(spark, "/root/testdata/sf0.001")
+    cfg = MatcherConfig(threshold=0.9)
+    return resolve_entities(recs, cfg)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def with_pyfiles(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_executors_have_package(spark)
+            return fn(spark, sf_dir)
+
+        return wrapped
+
+    return {name: with_pyfiles(fn) for name, fn in query_pack.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each SQL-expressible query."""
+    return query_pack.oracle_sql()

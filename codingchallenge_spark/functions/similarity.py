@@ -12,10 +12,11 @@ Kernels operate on the normalized name keys (short strings); inputs are
 truncated to MAX_LEN (=64) chars — name keys beyond that contribute no
 discriminative signal for linkage.
 
-Conventions (documented because no external oracle library fixes them):
-- jaro_winkler: unconditional Winkler prefix boost (p=0.1, prefix ≤ 4);
-  both-empty → 1.0; one-empty → 0.0.
-- levenshtein_ratio = 1 − dist/max(len1, len2); both-empty → 1.0.
+Conventions (strcmp95, verified equal to DuckDB's jaro_winkler_similarity —
+DuckDB is the external test oracle):
+- jaro_winkler: Winkler prefix boost (p=0.1, prefix ≤ 4) applied only when
+  jaro > 0.7 (strcmp95 boost threshold); any empty input → 0.0.
+- levenshtein_ratio = 1 − dist/max(len1, len2, 1); both-empty → 1.0.
 - token_jaccard: |A∩B| / |A∪B|; both-empty → 1.0.
 
 The Levenshtein inner recurrence is linearized so the j-dependency becomes a
@@ -36,6 +37,7 @@ from pyspark.sql.types import DoubleType
 MAX_LEN = 64
 WINKLER_PREFIX_WEIGHT = 0.1
 WINKLER_MAX_PREFIX = 4
+WINKLER_BOOST_THRESHOLD = 0.7
 
 
 def _encode(strs, max_len: int = MAX_LEN) -> tuple[np.ndarray, np.ndarray]:
@@ -145,8 +147,8 @@ def jaro_winkler_batch(s1, s2, max_len: int = MAX_LEN) -> np.ndarray:
     k = WINKLER_MAX_PREFIX
     eq = (a[:, :k] == b[:, :k]) & (np.arange(k)[None, :] < np.minimum(la, lb)[:, None])
     pl = np.cumprod(eq, axis=1).sum(axis=1).astype(np.float64)
-    jw = jaro + pl * WINKLER_PREFIX_WEIGHT * (1.0 - jaro)
-    jw[(la == 0) & (lb == 0)] = 1.0
+    boost = jaro > WINKLER_BOOST_THRESHOLD  # strcmp95 / DuckDB convention
+    jw = jaro + boost * pl * WINKLER_PREFIX_WEIGHT * (1.0 - jaro)
     return jw
 
 

@@ -1,0 +1,198 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each Spark-first and SQL-oracle-checkable:
+
+- exact: hash-groupBy on sha256(content) — one shuffle, map-side partial agg.
+- MinHash + LSH: portable md5-based hash (identical in DuckDB via
+  ('0x'||substr(md5(t),1,15))::BIGINT), k-permutation signatures via
+  higher-order array functions (JVM-side, no Python), banded LSH bucket join.
+- SimHash: 64-bit (numpy pandas-UDF fast path) and a 16-bit JVM-native
+  variant whose SQL twin is exact (bit arithmetic both sides).
+- n-gram Jaccard: character shingles via sequence+transform, set Jaccard.
+
+Scale: every family reduces to groupBy/join on uniformly-hashed keys — no
+driver-side loops, no UDF in the hot path except simhash64's vectorized
+kernel. LSH band join is the classic explode-by-band + hash-partitioned
+self-join: identical shuffle shape to token blocking (operators/blocking.py),
+so the same hot-key cap applies to degenerate bands.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from codingchallenge_spark.functions.similarity import token_jaccard
+
+
+def portable_hash64(col: Column, salt: int = 0) -> Column:
+    """Deterministic 60-bit hash computable identically in DuckDB:
+    ('0x' || substr(md5(x || '#salt'), 1, 15))::BIGINT."""
+    salted = F.concat(col, F.lit(f"#{salt}"))
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the min-id row per content sha. Returns
+    [content_sha, keep_id, dup_cnt]. One hash-shuffle; partial aggregation
+    (min/count) is map-side combined automatically."""
+    return (
+        df.groupBy(F.sha2(F.col(content_col), 256).alias("content_sha"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_cnt"),
+        )
+    )
+
+
+def minhash_signature(tokens: Column, k: int = 32) -> Column:
+    """k-permutation MinHash signature as array<long>, fully JVM-side:
+    sig[i] = min over tokens of portable_hash64(token, salt=i)."""
+
+    def hash_with(salt: int):
+        # Single-arg lambda on purpose: a 2-arg lambda would make F.transform
+        # pass the array index as the second argument.
+        return lambda t: portable_hash64(t, salt)
+
+    return F.array(
+        *[F.array_min(F.transform(tokens, hash_with(i))) for i in range(k)]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    k: int = 32,
+    bands: int = 8,
+    band_df_cap: int = 200,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: sign → band → bucket self-join.
+
+    Two docs collide if any band (k/bands consecutive signature slots) hashes
+    equal. Degenerate buckets (> band_df_cap members, e.g. all-empty docs)
+    are dropped via broadcast anti-join — same skew guard as token blocking.
+    Returns [id1, id2] canonical + deduped.
+    """
+    rows_per_band = k // bands
+    sig = docs.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(tokens_col), k).alias("sig"),
+    )
+    band_cols = [
+        F.sha2(
+            F.concat_ws(
+                ",",
+                F.lit(b),
+                *[F.element_at("sig", b * rows_per_band + j + 1).cast("string")
+                  for j in range(rows_per_band)],
+            ),
+            256,
+        ).alias("bucket")
+        for b in range(bands)
+    ]
+    buckets = sig.select("_id", F.explode(F.array(*band_cols)).alias("bucket"))
+    hot = (
+        buckets.groupBy("bucket").agg(F.count("*").alias("c"))
+        .filter(F.col("c") > band_df_cap).select("bucket")
+    )
+    cold = buckets.join(F.broadcast(hot), "bucket", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+
+
+def simhash16(tokens: Column) -> Column:
+    """16-bit SimHash, JVM-native (exact SQL twin exists): for each bit b,
+    sum ±1 over tokens' portable hashes; bit set iff sum > 0."""
+    hashes = F.transform(tokens, lambda t: portable_hash64(t, 0))
+    bit_terms = [
+        F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1 << b).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(16)
+    ]
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out
+
+
+@F.pandas_udf(LongType())
+def simhash64_udf(tokens: pd.Series) -> pd.Series:
+    """64-bit SimHash, vectorized numpy kernel (fast path for near-dup
+    bucketing at scale). Hash basis: blake2b-64 per token (stable across
+    runs/processes, unlike Python's hash())."""
+    import hashlib
+
+    out = np.zeros(len(tokens), dtype=np.int64)
+    for i, toks in enumerate(tokens):
+        if toks is None or len(toks) == 0:
+            continue
+        hs = np.frombuffer(
+            b"".join(
+                hashlib.blake2b(t.encode(), digest_size=8).digest() for t in toks
+            ),
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        sums = (2 * bits - 1).sum(axis=0)
+        val = np.uint64(0)
+        for b in np.nonzero(sums > 0)[0]:
+            val |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(val)
+    return pd.Series(out)
+
+
+def char_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams via sequence+transform (JVM-side)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1))),
+            lambda i: text.substr(i, F.lit(n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    n: int = 3,
+) -> DataFrame:
+    """n-gram Jaccard near-dup scores for pairs blocked on ``block_cols``.
+
+    Shingling uses expr-level substring over a sequence (codegen'd); the
+    self-join is a hash equi-join on the block key.
+    """
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        *block_cols,
+        char_shingles(F.col(text_col), n).alias("shingles"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    cond.append(F.col("a._id") < F.col("b._id"))
+    joined = a.join(b, cond)
+    return joined.select(
+        F.col("a._id").alias("id1"),
+        F.col("b._id").alias("id2"),
+        token_jaccard(F.col("a.shingles"), F.col("b.shingles")).alias("ngram_jaccard"),
+    )

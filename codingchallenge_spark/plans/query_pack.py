@@ -1,0 +1,938 @@
+"""Driver-contract query pack: one entry per operator (SURVEY.md §2).
+
+Each item maps a name to (spark_fn, oracle_sql). ``spark_fn(spark, sf_dir)``
+returns a DataFrame; ``oracle_sql`` is ANSI SQL DuckDB runs over the same
+parquet tables (views pre-registered by the driver). The driver compares
+row-count + schema + order-insensitive value hash — so every computed column
+is aliased identically on both sides, float aggregation is made exact
+(integral doubles / decimal casts / identical expression trees), and rounding
+is applied symmetrically where engines could differ by representation.
+
+Queries whose semantics are not SQL-expressible (iterative CC, HLL sketches,
+numpy LSH planes) carry ``None`` SQL → the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from codingchallenge_spark.functions.normalize import name_norm
+from codingchallenge_spark.functions.similarity import (
+    jaro_winkler_udf,
+    token_jaccard,
+)
+from codingchallenge_spark.functions.text import (
+    LANG_LEXICONS,
+    bpe_ish_token_count,
+    fingerprint,
+    langid,
+    quality_metrics,
+    ws_token_count,
+)
+from codingchallenge_spark.operators.ann import brute_force_topk, cosine_sim
+from codingchallenge_spark.operators.blocking import salted_join
+from codingchallenge_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (P/J/A/W/U operators) over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def q_scan_project(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+SQL_SCAN_PROJECT = "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
+
+
+def q_filter_pushdown(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+SQL_FILTER = (
+    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+    "WHERE l_quantity > 30 AND l_returnflag = 'R'"
+)
+
+
+def q_sha256(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.sha2(F.col("c_name"), 256).alias("name_sha")
+    )
+
+
+SQL_SHA256 = "SELECT c_custkey, sha256(c_name) AS name_sha FROM customer"
+
+
+def q_concat_hash(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.sha2(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.col("o_orderpriority"),
+            ),
+            256,
+        ).alias("rid"),
+    )
+
+
+SQL_CONCAT_HASH = (
+    "SELECT o_orderkey, sha256(concat_ws('|', o_orderkey::VARCHAR, "
+    "o_orderstatus, o_orderpriority)) AS rid FROM orders"
+)
+
+
+def q_norm_string(spark, sf_dir):
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.trim(
+            F.regexp_replace(F.lower(F.col("p_type")), r"[^a-z0-9]+", " ")
+        ).alias("type_norm"),
+    )
+
+
+SQL_NORM_STRING = (
+    "SELECT p_partkey, trim(regexp_replace(lower(p_type), '[^a-z0-9]+', ' ', 'g')) "
+    "AS type_norm FROM part"
+)
+
+
+def q_tokenize_counts(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_TOKENIZE = (
+    "SELECT tok, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) "
+    "AS tok FROM documents) GROUP BY tok"
+)
+
+
+def q_json_extract(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").alias("k_val")
+    )
+
+
+SQL_JSON = "SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events"
+
+
+def q_math_expr(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * (F.lit(1.0) + F.col("l_tax"))
+        ).alias("charge"),
+    )
+
+
+SQL_MATH = (
+    "SELECT l_orderkey, l_linenumber, "
+    "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge FROM lineitem"
+)
+
+
+def q_window_lead(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.lead("value").over(w).alias("next_value")
+    )
+
+
+SQL_WINDOW_LEAD = (
+    "SELECT event_id, lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS next_value FROM events"
+)
+
+
+def q_row_number(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.row_number().over(w).alias("rn")
+    )
+
+
+SQL_ROW_NUMBER = (
+    "SELECT o_orderkey, row_number() OVER (PARTITION BY o_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders"
+)
+
+
+def q_window_frame_sum(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.sum("value").over(w).alias("roll_sum")
+    )
+
+
+SQL_WINDOW_FRAME = (
+    "SELECT event_id, sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_sum FROM events"
+)
+
+
+def q_orderby_limit(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .orderBy(
+            F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(10)
+    )
+
+
+SQL_ORDERBY_LIMIT = (
+    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+    "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10"
+)
+
+
+def q_topk_per_group(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 2)
+    )
+
+
+SQL_TOPK_PER_GROUP = (
+    "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+    "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER "
+    "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+    "FROM orders) WHERE rn <= 2"
+)
+
+
+def q_equi_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_EQUI_JOIN = (
+    "SELECT c_mktsegment, COUNT(*) AS cnt FROM orders JOIN customer "
+    "ON o_custkey = c_custkey GROUP BY c_mktsegment"
+)
+
+
+def q_broadcast_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_BROADCAST_JOIN = (
+    "SELECT r_name, COUNT(*) AS cnt FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+)
+
+
+def q_double_join_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("cnt"))
+    )
+
+
+SQL_DOUBLE_JOIN = (
+    "SELECT c_mktsegment, SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+)
+
+
+def q_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+SQL_SEMI_JOIN = (
+    "SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+)
+
+
+def q_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+SQL_ANTI_JOIN = (
+    "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+    "(SELECT o_custkey FROM orders)"
+)
+
+
+def q_union_distinct(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.union(s).distinct()
+
+
+SQL_UNION_DISTINCT = (
+    "SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey AS k FROM supplier"
+)
+
+
+def q_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return c.intersect(o)
+
+
+SQL_INTERSECT = (
+    "SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders"
+)
+
+
+def q_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return c.exceptAll(o).distinct()
+
+
+SQL_EXCEPT = (
+    "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders"
+)
+
+
+def q_groupby_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+SQL_GROUPBY_AGG = (
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty, "
+    "MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+)
+
+
+def q_min_agg(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.min("o_totalprice").alias("min_price"))
+    )
+
+
+SQL_MIN_AGG = (
+    "SELECT o_custkey, MIN(o_totalprice) AS min_price FROM orders GROUP BY o_custkey"
+)
+
+
+def q_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_ROLLUP = (
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem "
+    "GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+)
+
+
+def q_distinct(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+SQL_DISTINCT = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q_least_greatest(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    sid = F.col("event_id").cast("string")
+    return e.select(
+        "event_id",
+        F.least(sid, F.col("event_type")).alias("lo"),
+        F.greatest(sid, F.col("event_type")).alias("hi"),
+    )
+
+
+SQL_LEAST_GREATEST = (
+    "SELECT event_id, least(event_id::VARCHAR, event_type) AS lo, "
+    "greatest(event_id::VARCHAR, event_type) AS hi FROM events"
+)
+
+
+def q_salted_join(spark, sf_dir):
+    # Same result as a plain equi-join — proves the deterministic salting
+    # transform (skew guard B3) preserves join semantics.
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("rid1"), F.col("o_orderkey").alias("rid2")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rid"), "c_mktsegment"
+    )
+    out = salted_join(o, c, "rid1", salt_buckets=8)
+    return out.select(F.col("rid2").alias("o_orderkey"), "c_mktsegment")
+
+
+SQL_SALTED_JOIN = (
+    "SELECT o_orderkey, c_mktsegment FROM orders JOIN customer "
+    "ON o_custkey = c_custkey"
+)
+
+
+# ---------------------------------------------------------------------------
+# Blocking / similarity / ER-flavored operators over documents
+# ---------------------------------------------------------------------------
+
+def q_explode_selfjoin(spark, sf_dir):
+    # Token-blocking join shape: per-token count of candidate doc pairs.
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    return (
+        a.join(b, "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("pair_cnt"))
+    )
+
+
+SQL_EXPLODE_SELFJOIN = (
+    "WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok "
+    "FROM documents) "
+    "SELECT a.tok AS tok, COUNT(*) AS pair_cnt FROM tok a JOIN tok b "
+    "ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY a.tok"
+)
+
+
+def q_levenshtein(spark, sf_dir):
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey", F.levenshtein("p_name", "p_brand").alias("dist")
+    )
+
+
+SQL_LEVENSHTEIN = (
+    "SELECT p_partkey, levenshtein(p_name, p_brand) AS dist FROM part"
+)
+
+
+def q_lev_ratio(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    denom = F.greatest(F.length("p_name"), F.length("p_brand"), F.lit(1))
+    return p.select(
+        "p_partkey",
+        (F.lit(1.0) - F.levenshtein("p_name", "p_brand") / denom).alias("lev_ratio"),
+    )
+
+
+SQL_LEV_RATIO = (
+    "SELECT p_partkey, 1.0 - levenshtein(p_name, p_brand) / "
+    "greatest(length(p_name), length(p_brand), 1) AS lev_ratio FROM part"
+)
+
+
+def q_jaro_winkler(spark, sf_dir):
+    # The numpy pandas-UDF kernel vs DuckDB's C++ jaro_winkler_similarity:
+    # conventions verified identical (strcmp95); rounded to 6 for FP safety.
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey", F.round(jaro_winkler_udf("p_name", "p_type"), 6).alias("jw")
+    )
+
+
+SQL_JARO_WINKLER = (
+    "SELECT p_partkey, round(jaro_winkler_similarity(p_name, p_type), 6) AS jw "
+    "FROM part"
+)
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.n_chars") == F.col("b.n_chars"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            token_jaccard(F.col("a.toks"), F.col("b.toks")).alias("jaccard"),
+        )
+    )
+
+
+SQL_JACCARD_PAIRS = (
+    "WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok "
+    "FROM documents), "
+    "sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id), "
+    "pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM documents a "
+    "JOIN documents b ON a.lang = b.lang AND a.n_chars = b.n_chars "
+    "AND a.doc_id < b.doc_id), "
+    "inter AS (SELECT ta.doc_id AS d1, tb.doc_id AS d2, COUNT(*) AS i FROM tok ta "
+    "JOIN tok tb ON ta.tok = tb.tok AND ta.doc_id < tb.doc_id GROUP BY 1, 2) "
+    "SELECT p.d1, p.d2, COALESCE(i.i, 0)::DOUBLE / (s1.n + s2.n - COALESCE(i.i, 0)) "
+    "AS jaccard FROM pairs p JOIN sz s1 ON p.d1 = s1.doc_id "
+    "JOIN sz s2 ON p.d2 = s2.doc_id "
+    "LEFT JOIN inter i ON p.d1 = i.d1 AND p.d2 = i.d2"
+)
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+SQL_DEDUP_EXACT = (
+    "SELECT sha256(text) AS content_sha, MIN(doc_id) AS keep_id, "
+    "COUNT(*) AS dup_cnt FROM documents GROUP BY sha256(text)"
+)
+
+
+def q_dedup_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_cnt"))
+    )
+
+
+SQL_DEDUP_FINGERPRINT = (
+    "SELECT sha256(array_to_string(list_sort(list_distinct("
+    "string_split(lower(text), ' '))), ' ')) AS fp, "
+    "MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt FROM documents GROUP BY 1"
+)
+
+
+def _mh_sql(i: int) -> str:
+    return (
+        f"MIN(('0x' || substr(md5(tok || '#{i}'), 1, 15))::BIGINT) AS mh{i}"
+    )
+
+
+def q_minhash_sig(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    sig = minhash_signature(F.col("toks"), k=4)
+    return d.select(
+        "doc_id",
+        *[F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(4)],
+    )
+
+
+SQL_MINHASH_SIG = (
+    "WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok "
+    "FROM documents) "
+    f"SELECT doc_id, {_mh_sql(0)}, {_mh_sql(1)}, {_mh_sql(2)}, {_mh_sql(3)} "
+    "FROM tok GROUP BY doc_id"
+)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from codingchallenge_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    return minhash_lsh_pairs(
+        d, "doc_id", "toks", k=8, bands=4, band_df_cap=10**9
+    )
+
+
+def _band_sql(b: int, r: int = 2) -> str:
+    cols = ", ".join(f"mh{b * r + j}::VARCHAR" for j in range(r))
+    return (
+        f"SELECT doc_id, sha256(concat_ws(',', '{b}', {cols})) AS bucket FROM sig"
+    )
+
+
+SQL_MINHASH_LSH = (
+    "WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok "
+    "FROM documents), "
+    "sig AS (SELECT doc_id, "
+    + ", ".join(_mh_sql(i) for i in range(8))
+    + " FROM tok GROUP BY doc_id), "
+    "buckets AS ("
+    + " UNION ALL ".join(_band_sql(b) for b in range(4))
+    + ") "
+    "SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM buckets a "
+    "JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id"
+)
+
+
+def q_simhash16(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    return d.select("doc_id", simhash16(F.col("toks")).alias("simhash"))
+
+
+SQL_SIMHASH16 = (
+    "WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok "
+    "FROM documents), "
+    "h AS (SELECT doc_id, ('0x' || substr(md5(tok || '#0'), 1, 15))::BIGINT AS h "
+    "FROM tok), "
+    "bits AS (SELECT doc_id, b.range AS b, "
+    "SUM(CASE WHEN (h >> b.range) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+    "FROM h, range(0, 16) b GROUP BY doc_id, b.range) "
+    "SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) "
+    "AS BIGINT) AS simhash FROM bits GROUP BY doc_id"
+)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        ["lang", "n_chars"],
+        n=3,
+    ).select(
+        F.col("id1").alias("d1"), F.col("id2").alias("d2"), "ngram_jaccard"
+    )
+
+
+SQL_NGRAM_JACCARD = (
+    # DuckDB 1.0 range() rejects lateral column args → static position table
+    # (10k covers every documents.text) filtered per row.
+    "WITH pos AS (SELECT range AS i FROM range(1, 10001)), "
+    "sh AS (SELECT DISTINCT doc_id, lang, n_chars, substr(text, i::INT, 3) AS g "
+    "FROM documents, pos WHERE i <= greatest(length(text) - 2, 1)), "
+    "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+    "pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM documents a "
+    "JOIN documents b ON a.lang = b.lang AND a.n_chars = b.n_chars "
+    "AND a.doc_id < b.doc_id), "
+    "inter AS (SELECT sa.doc_id AS d1, sb.doc_id AS d2, COUNT(*) AS i FROM sh sa "
+    "JOIN sh sb ON sa.g = sb.g AND sa.doc_id < sb.doc_id GROUP BY 1, 2) "
+    "SELECT p.d1, p.d2, COALESCE(i.i, 0)::DOUBLE / (s1.n + s2.n - COALESCE(i.i, 0)) "
+    "AS ngram_jaccard FROM pairs p JOIN sz s1 ON p.d1 = s1.doc_id "
+    "JOIN sz s2 ON p.d2 = s2.doc_id "
+    "LEFT JOIN inter i ON p.d1 = i.d1 AND p.d2 = i.d2"
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ws_token_count("text").alias("ws_cnt"),
+        bpe_ish_token_count("text").alias("bpe_cnt"),
+    )
+
+
+SQL_TOKEN_COUNT = (
+    "SELECT doc_id, len(string_split(text, ' ')) AS ws_cnt, "
+    r"length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_cnt "
+    "FROM documents"
+)
+
+
+def q_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["avg_token_len"].alias("avg_token_len"),
+        m["alpha_ratio"].alias("alpha_ratio"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+_EN = ", ".join(f"'{w}'" for w in LANG_LEXICONS["en"])
+
+SQL_QUALITY = (
+    "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
+    "length(text) / greatest(len(string_split(text, ' ')), 1) AS avg_token_len, "
+    "length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / "
+    "greatest(length(text), 1) AS alpha_ratio, "
+    f"len(list_filter(string_split(lower(text), ' '), t -> t IN ({_EN}))) / "
+    "greatest(len(string_split(text, ' ')), 1) AS stopword_ratio "
+    "FROM documents"
+)
+
+
+def q_langid(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", langid("text").alias("lang_pred")
+    )
+
+
+def _langid_sql() -> str:
+    # Mirror functions.text.langid: iterate sorted langs, strict > to replace.
+    langs = sorted(LANG_LEXICONS.items())
+    cnt = {
+        lang: (
+            f"len(list_filter(string_split(lower(text), ' '), "
+            f"t -> t IN ({', '.join(repr(w) for w in lex)})))"
+        )
+        for lang, lex in langs
+    }
+    best_expr, best_score = f"'{langs[0][0]}'", cnt[langs[0][0]]
+    for lang, _ in langs[1:]:
+        c = cnt[lang]
+        best_expr = f"CASE WHEN {c} > {best_score} THEN '{lang}' ELSE {best_expr} END"
+        best_score = f"CASE WHEN {c} > {best_score} THEN {c} ELSE {best_score} END"
+    return (
+        f"SELECT doc_id, CASE WHEN {best_score} > 0 THEN {best_expr} "
+        "ELSE 'und' END AS lang_pred FROM documents"
+    )
+
+
+SQL_LANGID = _langid_sql()
+
+
+def q_name_norm_docs(spark, sf_dir):
+    # name_norm (P5) applied to a derived path — same derivation in SQL.
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("docs/"), F.col("source"), F.lit("/File_"),
+                 F.col("doc_id").cast("string"), F.lit(".TXT")).alias("path"),
+    )
+    return d.select("doc_id", name_norm("path").alias("nn"))
+
+
+SQL_NAME_NORM_DOCS = (
+    "SELECT doc_id, trim(regexp_replace(regexp_replace(lower("
+    "list_extract(string_split('docs/' || source || '/File_' || doc_id::VARCHAR "
+    "|| '.TXT', '/'), -1)), '\\.[a-z0-9]{1,8}$', '', 'g'), '[^a-z0-9]+', ' ', 'g')"
+    ") AS nn FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def q_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        e, e.filter(F.col("vec_id") < 10), id_col="vec_id", vec_col="embedding", k=5
+    )
+
+
+SQL_COSINE_TOPK = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+    "FROM embeddings WHERE vec_id < 10), "
+    "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings), "
+    "s AS (SELECT query_id, neighbor_id, "
+    "round(CASE WHEN sqrt(list_inner_product(cv, cv)) * "
+    "sqrt(list_inner_product(qv, qv)) > 0 THEN "
+    "list_inner_product(cv, qv) / (sqrt(list_inner_product(cv, cv)) * "
+    "sqrt(list_inner_product(qv, qv))) ELSE 0.0 END, 6) AS cos "
+    "FROM c, q WHERE neighbor_id != query_id), "
+    "r AS (SELECT query_id, neighbor_id, cos, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s) "
+    "SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5"
+)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.round(
+                cosine_sim(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.3)
+    )
+
+
+SQL_EMBEDDING_NEARDUP = (
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) "
+    "SELECT a.vec_id AS id1, b.vec_id AS id2, "
+    "round(CASE WHEN sqrt(list_inner_product(a.v, a.v)) * "
+    "sqrt(list_inner_product(b.v, b.v)) > 0 THEN "
+    "list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * "
+    "sqrt(list_inner_product(b.v, b.v))) ELSE 0.0 END, 6) AS cos "
+    "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+    "WHERE round(CASE WHEN sqrt(list_inner_product(a.v, a.v)) * "
+    "sqrt(list_inner_product(b.v, b.v)) > 0 THEN "
+    "list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * "
+    "sqrt(list_inner_product(b.v, b.v))) ELSE 0.0 END, 6) >= 0.3"
+)
+
+
+# ---------------------------------------------------------------------------
+# Rows-only (non-SQL-expressible) operators
+# ---------------------------------------------------------------------------
+
+def q_approx_count_distinct(spark, sf_dir):
+    # HLL sketch — DuckDB's approx_count_distinct uses a different sketch.
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    from codingchallenge_spark.operators.ann import lsh_topk
+
+    return lsh_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+def q_er_entities(spark, sf_dir):
+    # Flagship ER slice (iterative CC — not SQL-expressible): cluster the
+    # documents table mapped to repo-file shape.
+    from codingchallenge_spark.plans.matcher import MatcherConfig, resolve_entities
+    from codingchallenge_spark.sources.records import documents_as_records
+
+    recs = documents_as_records(spark, sf_dir)
+    cfg = MatcherConfig(threshold=0.9)
+    return resolve_entities(recs, cfg).select("rid", "entity_id", "content_sha")
+
+
+def q_simhash64(spark, sf_dir):
+    from codingchallenge_spark.operators.dedup import simhash64_udf
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        simhash64_udf(F.array_distinct(F.split("text", " "))).alias("simhash64"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # relational core
+    "q_scan_project": (q_scan_project, SQL_SCAN_PROJECT),
+    "q_filter_pushdown": (q_filter_pushdown, SQL_FILTER),
+    "q_sha256": (q_sha256, SQL_SHA256),
+    "q_concat_hash": (q_concat_hash, SQL_CONCAT_HASH),
+    "q_norm_string": (q_norm_string, SQL_NORM_STRING),
+    "q_tokenize_counts": (q_tokenize_counts, SQL_TOKENIZE),
+    "q_json_extract": (q_json_extract, SQL_JSON),
+    "q_math_expr": (q_math_expr, SQL_MATH),
+    "q_window_lead": (q_window_lead, SQL_WINDOW_LEAD),
+    "q_row_number": (q_row_number, SQL_ROW_NUMBER),
+    "q_window_frame_sum": (q_window_frame_sum, SQL_WINDOW_FRAME),
+    "q_orderby_limit": (q_orderby_limit, SQL_ORDERBY_LIMIT),
+    "q_topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "q_equi_join": (q_equi_join, SQL_EQUI_JOIN),
+    "q_broadcast_join": (q_broadcast_join, SQL_BROADCAST_JOIN),
+    "q_double_join_agg": (q_double_join_agg, SQL_DOUBLE_JOIN),
+    "q_semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "q_anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "q_union_distinct": (q_union_distinct, SQL_UNION_DISTINCT),
+    "q_intersect": (q_intersect, SQL_INTERSECT),
+    "q_except": (q_except, SQL_EXCEPT),
+    "q_groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
+    "q_min_agg": (q_min_agg, SQL_MIN_AGG),
+    "q_rollup": (q_rollup, SQL_ROLLUP),
+    "q_distinct": (q_distinct, SQL_DISTINCT),
+    "q_least_greatest": (q_least_greatest, SQL_LEAST_GREATEST),
+    "q_salted_join": (q_salted_join, SQL_SALTED_JOIN),
+    # blocking / similarity / dedup
+    "q_explode_selfjoin": (q_explode_selfjoin, SQL_EXPLODE_SELFJOIN),
+    "q_levenshtein": (q_levenshtein, SQL_LEVENSHTEIN),
+    "q_lev_ratio": (q_lev_ratio, SQL_LEV_RATIO),
+    "q_jaro_winkler": (q_jaro_winkler, SQL_JARO_WINKLER),
+    "q_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "q_dedup_fingerprint": (q_dedup_fingerprint, SQL_DEDUP_FINGERPRINT),
+    "q_minhash_sig": (q_minhash_sig, SQL_MINHASH_SIG),
+    "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
+    "q_simhash16": (q_simhash16, SQL_SIMHASH16),
+    "q_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    # text analysis
+    "q_token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "q_quality": (q_quality, SQL_QUALITY),
+    "q_langid": (q_langid, SQL_LANGID),
+    "q_name_norm_docs": (q_name_norm_docs, SQL_NAME_NORM_DOCS),
+    # embeddings
+    "q_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "q_embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    # rows-only
+    "q_approx_count_distinct": (q_approx_count_distinct, None),
+    "q_ann_lsh": (q_ann_lsh, None),
+    "q_er_entities": (q_er_entities, None),
+    "q_simhash64": (q_simhash64, None),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,35 @@
+"""Driver-contract smoke: entry(spark) returns rows with a stable schema."""
+
+import importlib.util
+from pathlib import Path
+
+
+def _load_entry_module():
+    path = Path(__file__).resolve().parents[1] / "__spark_entry__.py"
+    spec = importlib.util.spec_from_file_location("spark_entry", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_smoke(spark):
+    mod = _load_entry_module()
+    df = mod.entry(spark)
+    rows = df.count()
+    assert rows > 0
+    cols = set(df.columns)
+    assert {"repo", "path", "commit", "lang", "content", "content_sha",
+            "entity_id"} <= cols
+
+
+def test_queries_and_oracles_aligned():
+    mod = _load_entry_module()
+    q = mod.queries()
+    o = mod.oracle_sql()
+    assert len(q) >= 40
+    assert set(o) <= set(q)
+    # every oracle key resolves; rows-only entries are the documented few
+    rows_only = set(q) - set(o)
+    assert rows_only == {
+        "q_approx_count_distinct", "q_ann_lsh", "q_er_entities", "q_simhash64"
+    }

@@ -1,0 +1,91 @@
+"""Local mirror of the driver's DuckDB oracle comparison (SURVEY.md §5.1).
+
+Runs every query pack entry at sf0.001 on both engines and compares
+row count, sorted column names, and the order-insensitive multiset of
+normalized row values — stricter than the driver (exact float bits, modulo
+float32→float64 display) so driver-side hash mismatches surface here first.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+from codingchallenge_spark.plans.query_pack import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if v is None:
+        return "<null>"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(round(v, 9))
+    return str(v)
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm_cell(r[i]) for i in order) for r in rows
+    )
+
+
+SQL_QUERIES = [(n, fn, sql) for n, (fn, sql) in QUERIES.items() if sql is not None]
+ROWS_ONLY = [(n, fn) for n, (fn, sql) in QUERIES.items() if sql is None]
+
+
+@pytest.mark.parametrize(
+    "name,fn,sql", SQL_QUERIES, ids=[n for n, _, _ in SQL_QUERIES]
+)
+def test_query_matches_duckdb(spark, duck, name, fn, sql):
+    sdf = fn(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column names differ: {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    a = _norm_rows(spark_cols, spark_rows)
+    b = _norm_rows(duck_cols, duck_rows)
+    if a != b:
+        diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+@pytest.mark.parametrize("name,fn", ROWS_ONLY, ids=[n for n, _ in ROWS_ONLY])
+def test_rows_only_queries_run(spark, name, fn):
+    df = fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

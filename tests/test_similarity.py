@@ -27,9 +27,7 @@ def py_levenshtein(a: str, b: str) -> int:
 
 
 def py_jaro_winkler(s1: str, s2: str, p: float = 0.1) -> float:
-    """Slow reference with the module's documented conventions."""
-    if not s1 and not s2:
-        return 1.0
+    """Slow reference with the module's documented (strcmp95) conventions."""
     if not s1 or not s2:
         return 0.0
     l1, l2 = len(s1), len(s2)
@@ -54,6 +52,8 @@ def py_jaro_winkler(s1: str, s2: str, p: float = 0.1) -> float:
         if a != b:
             break
         pl += 1
+    if jaro <= 0.7:  # strcmp95 boost threshold
+        return jaro
     return jaro + pl * p * (1.0 - jaro)
 
 
@@ -86,8 +86,10 @@ def test_similarity_properties(pairs):
     jw_ba = jaro_winkler_batch(s2, s1)
     assert np.allclose(jw_ab, jw_ba, atol=1e-12)  # symmetry
     assert ((jw_ab >= 0) & (jw_ab <= 1)).all()  # range
-    ident = jaro_winkler_batch(s1, s1)
-    assert np.allclose(ident, 1.0)  # identity
+    nonempty = [s for s in s1 if s]
+    if nonempty:
+        ident = jaro_winkler_batch(nonempty, nonempty)
+        assert np.allclose(ident, 1.0)  # identity (empty → 0 by convention)
     lr = levenshtein_ratio_batch(s1, s2)
     assert ((lr >= 0) & (lr <= 1)).all()
     assert np.allclose(levenshtein_ratio_batch(s1, s1), 1.0)
