@@ -12,10 +12,7 @@ per operator from SURVEY.md §2).
 
 from __future__ import annotations
 
-import os
 import sys
-import tempfile
-import zipfile
 from collections.abc import Callable
 from pathlib import Path
 
@@ -27,6 +24,9 @@ sys.path.insert(0, str(_REPO_ROOT))
 from codingchallenge_spark.plans import query_pack  # noqa: E402
 
 
+from codingchallenge_spark.session import ship_package  # noqa: E402
+
+
 def _ensure_executors_have_package(spark: SparkSession) -> None:
     """Ship codingchallenge_spark to executor Python workers.
 
@@ -35,19 +35,7 @@ def _ensure_executors_have_package(spark: SparkSession) -> None:
     same problem `spark-submit --py-files engine.zip` solves in production
     (BASELINE.json:6). Harmless no-op when already registered.
     """
-    if getattr(spark, "_ccspark_pyfiles_added", False):
-        return
-    pkg = _REPO_ROOT / "codingchallenge_spark"
-    zpath = Path(tempfile.gettempdir()) / f"ccspark_pyfiles_{os.getpid()}.zip"
-    if not zpath.exists():
-        with zipfile.ZipFile(zpath, "w") as z:
-            for p in sorted(pkg.rglob("*.py")):
-                z.write(p, p.relative_to(_REPO_ROOT))
-    try:
-        spark.sparkContext.addPyFile(str(zpath))
-    except Exception:
-        pass  # e.g. Spark Connect session without sparkContext — path-only
-    spark._ccspark_pyfiles_added = True
+    ship_package(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:

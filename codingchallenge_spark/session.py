@@ -13,6 +13,11 @@ from drowning in task overhead. On local[N] the same confs apply unchanged.
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
+from pathlib import Path
+
 from pyspark.sql import SparkSession
 
 # One knob: shuffle parallelism scales with cores (cluster: with executors).
@@ -55,4 +60,28 @@ def build_session(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make codingchallenge_spark importable on executor Python workers.
+
+    Under `spark-submit --py-files dist/engine.zip` this is already true; for
+    ad-hoc sessions (driver contract, tests run from any cwd) we zip the
+    package and addPyFile it — same artifact, same mechanism. Idempotent.
+    """
+    if getattr(spark, "_ccspark_pyfiles_added", False):
+        return
+    pkg = Path(__file__).resolve().parent
+    zpath = Path(tempfile.gettempdir()) / f"ccspark_pyfiles_{os.getpid()}.zip"
+    if not zpath.exists():
+        with zipfile.ZipFile(zpath, "w") as z:
+            for p in sorted(pkg.rglob("*.py")):
+                z.write(p, Path(pkg.name) / p.relative_to(pkg))
+    try:
+        spark.sparkContext.addPyFile(str(zpath))
+    except Exception:
+        pass  # Spark Connect session: no sparkContext — rely on --py-files
+    spark._ccspark_pyfiles_added = True

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the record-linkage pipeline (EP1).
+
+Production invocation (BASELINE.json:6 "ships as spark-submit --py-files"):
+
+    scripts/package.sh   # builds dist/engine.zip
+    spark-submit --py-files dist/engine.zip run_pipeline.py \
+        --input <parquet dir or iceberg table> --format parquet \
+        --run-dir /data/runs/run1 --resume \
+        [--labeled-pairs <parquet>]   # optional F1 gate
+
+Local smoke (this sandbox):
+
+    python run_pipeline.py --master 'local[8]' \
+        --input <fixture>/repo_files.parquet --run-dir /tmp/run1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from codingchallenge_spark.plans.matcher import MatcherConfig
+from codingchallenge_spark.plans.pipeline import run_pipeline
+from codingchallenge_spark.session import build_session
+from codingchallenge_spark.sources.records import read_records
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="records table/path")
+    ap.add_argument("--format", default="parquet",
+                    choices=["parquet", "iceberg", "table"])
+    ap.add_argument("--run-dir", required=True)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--threshold", type=float, default=None)
+    ap.add_argument("--token-df-cap", type=int, default=None)
+    ap.add_argument("--salt-buckets", type=int, default=0)
+    ap.add_argument("--labeled-pairs", default=None,
+                    help="parquet of (rid1,rid2,is_match) for the F1 gate")
+    ap.add_argument("--master", default=None,
+                    help="only for local runs; omit under spark-submit")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    spark = build_session(
+        app_name="codingchallenge-pipeline",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    cfg_kwargs = {}
+    if args.threshold is not None:
+        cfg_kwargs["threshold"] = args.threshold
+    if args.token_df_cap is not None:
+        cfg_kwargs["token_df_cap"] = args.token_df_cap
+    cfg = MatcherConfig(salt_buckets=args.salt_buckets, **cfg_kwargs)
+
+    records = read_records(spark, args.input, fmt=args.format)
+    run = run_pipeline(
+        spark, records, args.run_dir, cfg,
+        input_id=f"{args.format}:{args.input}", resume=args.resume,
+    )
+    n = run.entities.count()
+    summary = {
+        "rows": n,
+        "executed": run.executed,
+        "skipped": run.skipped,
+        "run_dir": run.run_dir,
+    }
+    if args.labeled_pairs:
+        from codingchallenge_spark.eval import pairwise_f1
+
+        lp = spark.read.parquet(args.labeled_pairs)
+        m = pairwise_f1(run.entities.select("rid", "entity_id"), lp)
+        summary["f1"] = m.f1
+        summary["precision"] = m.precision
+        summary["recall"] = m.recall
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,78 @@
+"""Checkpoint/resume protocol tests (SURVEY.md §5.5, BASELINE.json:14)."""
+
+import json
+import shutil
+from pathlib import Path
+
+import pytest
+
+from codingchallenge_spark.plans.matcher import MatcherConfig, resolve_entities
+from codingchallenge_spark.plans.pipeline import STAGES, run_pipeline
+from codingchallenge_spark.sources.checkpoint import read_marker
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("pipeline_run"))
+
+
+def _labels(df):
+    return {r.rid: r.entity_id for r in df.select("rid", "entity_id").collect()}
+
+
+def test_full_run_then_resume_noop(spark, tiny_records, run_dir):
+    cfg = MatcherConfig()
+    run1 = run_pipeline(spark, tiny_records, run_dir, cfg, input_id="tiny")
+    assert run1.executed == STAGES and run1.skipped == []
+    out1 = _labels(run1.entities)
+    assert len(out1) == tiny_records.count()
+
+    # matches the pure in-memory plan
+    mem = _labels(resolve_entities(tiny_records, cfg))
+    assert out1 == mem
+
+    # resume with nothing changed → every stage skipped, identical output
+    run2 = run_pipeline(
+        spark, tiny_records, run_dir, cfg, input_id="tiny", resume=True
+    )
+    assert run2.executed == [] and run2.skipped == STAGES
+    assert _labels(run2.entities) == out1
+
+
+def test_resume_recomputes_only_missing_suffix(spark, tiny_records, run_dir):
+    cfg = MatcherConfig()
+    out_before = _labels(
+        run_pipeline(spark, tiny_records, run_dir, cfg, input_id="tiny",
+                     resume=True).entities
+    )
+    # interrupt after blocking: nuke score and everything downstream
+    for stage in ["score", "edges", "cc", "entities"]:
+        shutil.rmtree(Path(run_dir) / stage, ignore_errors=True)
+    run = run_pipeline(
+        spark, tiny_records, run_dir, cfg, input_id="tiny", resume=True
+    )
+    assert run.skipped == ["normalize", "block_token", "block_sn", "pairs"]
+    assert run.executed == ["score", "edges", "cc", "entities"]
+    assert _labels(run.entities) == out_before
+
+
+def test_config_change_invalidates_downstream(spark, tiny_records, run_dir):
+    cfg2 = MatcherConfig(threshold=0.8)  # differs from default
+    run = run_pipeline(
+        spark, tiny_records, run_dir, cfg2, input_id="tiny", resume=True
+    )
+    # fingerprint embeds the whole config → everything re-runs
+    assert run.executed == STAGES
+
+
+def test_marker_lineage(spark, run_dir):
+    meta = read_marker(run_dir, "normalize")
+    assert meta["rows"] == 200
+    assert meta["partitions"] >= 1
+    assert sum(meta["file_rows"].values()) == 200  # per-partition lineage
+    metrics = [
+        json.loads(l)
+        for l in (Path(run_dir) / "stage_metrics.jsonl").read_text().splitlines()
+    ]
+    assert any(m["stage"] == "cc" and not m["skipped"] for m in metrics)
+    assert any(m["skipped"] for m in metrics)
