@@ -162,10 +162,60 @@ def token_jaccard(c1: Column | str, c2: Column | str) -> Column:
     return F.when(uni > 0, inter / uni).otherwise(F.lit(1.0))
 
 
+def token_hashes(col: Column | str = "tokens") -> Column:
+    """Per-record sorted xxhash64 fingerprints of a distinct token array.
+
+    Precomputed once per record (NOT per pair) so the pair fan-in join ships
+    8-byte longs instead of full token strings, and the batched Jaccard
+    kernel (:func:`hashed_jaccard_batch`) runs on primitive arrays.
+    Deterministic (seeded xxhash64). In-array collisions would need two of a
+    record's ~10² tokens to collide in 64 bits (~10⁻¹⁵ per record).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_sort(F.transform(c, lambda t: F.xxhash64(t)))
+
+
+def hashed_jaccard_batch(a: pd.Series, b: pd.Series) -> np.ndarray:
+    """V3 batched form — Jaccard over pre-hashed (distinct-element) arrays,
+    vectorized across the whole Arrow batch.
+
+    One np.lexsort over the concatenated (row, hash) pairs of the batch;
+    because each side's hashes are distinct within a row, every adjacent
+    duplicate after the sort is exactly one element of A∩B. No per-row set
+    construction — the spec's "batched token-Jaccard" kernel
+    (BASELINE.json:6) with O(m log m) work per batch.
+    """
+    n = len(a)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    av = [np.asarray(x, dtype=np.int64) if x is not None else _EMPTY_I64 for x in a]
+    bv = [np.asarray(x, dtype=np.int64) if x is not None else _EMPTY_I64 for x in b]
+    la = np.fromiter((x.size for x in av), dtype=np.int64, count=n)
+    lb = np.fromiter((x.size for x in bv), dtype=np.int64, count=n)
+    flat = np.concatenate(av + bv) if (la.sum() + lb.sum()) else _EMPTY_I64
+    rows = np.concatenate(
+        [np.repeat(np.arange(n), la), np.repeat(np.arange(n), lb)]
+    )
+    order = np.lexsort((flat, rows))
+    sf, sr = flat[order], rows[order]
+    dup = (sf[1:] == sf[:-1]) & (sr[1:] == sr[:-1])
+    inter = np.bincount(sr[1:][dup], minlength=n).astype(np.int64)
+    union = la + lb - inter
+    return np.where(union > 0, inter / union, 1.0)
+
+
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+
+
 # ---------------------------------------------------------------------------
 # Arrow-batched pandas UDFs (scalar): adjacent UDFs in one projection are
 # evaluated in a single ArrowEvalPython pass (one JVM↔Python crossing).
 # ---------------------------------------------------------------------------
+
+
+@pandas_udf(DoubleType())
+def hashed_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(hashed_jaccard_batch(a, b))
 
 @pandas_udf(DoubleType())
 def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:

@@ -30,23 +30,25 @@ DEFAULT_SN_WINDOW = 4
 DEFAULT_SN_BUCKETS = 32
 
 
-def canonical_pairs(df: DataFrame, c1: str = "rid1", c2: str = "rid2") -> DataFrame:
+def canonical_pairs(
+    df: DataFrame, c1: str = "rid1", c2: str = "rid2", dedupe: bool = True
+) -> DataFrame:
     """B4 — canonical order (rid1 < rid2), no self-pairs, dedup."""
-    return (
-        df.select(
-            F.least(c1, c2).alias("rid1"),
-            F.greatest(c1, c2).alias("rid2"),
-            *[c for c in df.columns if c not in (c1, c2)],
-        )
-        .filter(F.col("rid1") != F.col("rid2"))
-        .dropDuplicates(["rid1", "rid2"])
-    )
+    out = df.select(
+        F.least(c1, c2).alias("rid1"),
+        F.greatest(c1, c2).alias("rid2"),
+        *[c for c in df.columns if c not in (c1, c2)],
+    ).filter(F.col("rid1") != F.col("rid2"))
+    if dedupe:
+        out = out.dropDuplicates(["rid1", "rid2"])
+    return out
 
 
 def token_blocking(
     records_norm: DataFrame,
     df_cap: int = DEFAULT_TOKEN_DF_CAP,
     num_partitions: int | None = None,
+    dedupe: bool = True,
 ) -> DataFrame:
     """B2+B3 — explode tokens, drop hot tokens, hash-partitioned self-join.
 
@@ -78,8 +80,12 @@ def token_blocking(
             F.col("b.rid").alias("rid2"),
             F.col("tok").alias("block_key"),
         )
-        .dropDuplicates(["rid1", "rid2"])
     )
+    # dedupe=False lets a multi-pass caller (union_candidates) pay for the
+    # pair-dedup shuffle exactly once instead of per pass — at 10^12-file
+    # scale the duplicated-pair relation is the biggest intermediate there is.
+    if dedupe:
+        pairs = pairs.dropDuplicates(["rid1", "rid2"])
     return pairs
 
 
@@ -87,6 +93,7 @@ def sorted_neighborhood(
     records_norm: DataFrame,
     window: int = DEFAULT_SN_WINDOW,
     num_buckets: int = DEFAULT_SN_BUCKETS,
+    dedupe: bool = True,
 ) -> DataFrame:
     """B1 — sorted-neighborhood blocking on (name_norm, rid).
 
@@ -142,7 +149,7 @@ def sorted_neighborhood(
     )
     seam = _pairs_over(edges, "seam")
 
-    return canonical_pairs(inner.unionByName(seam))
+    return canonical_pairs(inner.unionByName(seam), dedupe=dedupe)
 
 
 def union_candidates(*pair_dfs: DataFrame) -> DataFrame:
@@ -154,6 +161,48 @@ def union_candidates(*pair_dfs: DataFrame) -> DataFrame:
     for df in pair_dfs[1:]:
         out = out.unionByName(df)
     return out.groupBy("rid1", "rid2").agg(F.min("block_key").alias("block_key"))
+
+
+def union_candidates_meta(
+    token_pairs: DataFrame,
+    sn_pairs: DataFrame,
+    min_token_overlap: int = 1,
+    keep_block_key: bool = False,
+) -> DataFrame:
+    """B4 with meta-blocking: dedup + common-token filter in ONE shuffle.
+
+    ``token_pairs`` must be the NON-deduped token-pass output (dedupe=False),
+    where each row is one shared sub-cap token — so count(rows) per pair IS
+    the pair's shared-blocking-token count, for free. Pairs sharing fewer
+    than ``min_token_overlap`` blocking tokens are dropped unless the
+    sorted-neighborhood pass also proposed them (name evidence).
+
+    This is the pair-volume lever at 10^12-file scale: one-shared-rare-token
+    coincidences dominate raw token-blocking output (≳90% of pairs here) and
+    essentially never score above threshold; requiring a second shared token
+    removes them before any attribute is shipped. (Meta-blocking à la
+    Papadakis et al.; exempting SN pairs keeps the recall path for
+    name-similar records.)
+
+    ``keep_block_key=False`` (default) drops the block-key column: a string
+    min() in the agg forces SortAggregate (immutable agg buffer → no hash
+    agg), i.e. a full sort of the biggest relation in the pipeline. With
+    only primitive aggregates the dedup runs as a partial-agg HashAggregate.
+    """
+    keys = ["rid1", "rid2"] + (["block_key"] if keep_block_key else [])
+    tok = token_pairs.select(*keys, F.lit(1).alias("_tok"))
+    sn = sn_pairs.select(*keys, F.lit(0).alias("_tok"))
+    aggs = [
+        F.sum("_tok").alias("_tok_overlap"),
+        F.max(1 - F.col("_tok")).alias("_in_sn"),
+    ]
+    if keep_block_key:
+        aggs.append(F.min("block_key").alias("block_key"))
+    agg = tok.unionByName(sn).groupBy("rid1", "rid2").agg(*aggs)
+    out_cols = ["rid1", "rid2"] + (["block_key"] if keep_block_key else [])
+    return agg.filter(
+        (F.col("_tok_overlap") >= F.lit(min_token_overlap)) | (F.col("_in_sn") == 1)
+    ).select(*out_cols)
 
 
 def salted_join(

@@ -21,15 +21,14 @@ from codingchallenge_spark.operators.blocking import (
     DEFAULT_TOKEN_DF_CAP,
     sorted_neighborhood,
     token_blocking,
-    union_candidates,
+    union_candidates_meta,
 )
 from codingchallenge_spark.operators.cc import connected_components
 from codingchallenge_spark.operators.scoring import (
     DEFAULT_THRESHOLD,
     DEFAULT_WEIGHTS,
-    attach_pair_attrs,
     edges_from_scores,
-    score_pairs,
+    score_pairs_pruned,
 )
 
 
@@ -42,15 +41,26 @@ class MatcherConfig:
     threshold: float = DEFAULT_THRESHOLD
     salt_buckets: int = 0  # >0 → salted attribute fan-in join
     cc_max_iterations: int = 25
+    # Meta-blocking: a pair must share ≥ this many blocking tokens to be
+    # scored (SN-pass pairs exempt). 2 kills the one-shared-rare-token
+    # coincidence pairs that dominate token-blocking output at scale; set 1
+    # for exhaustive (every co-blocked pair scored) semantics.
+    min_token_overlap: int = 2
 
 
 def candidate_pairs(records_norm: DataFrame, cfg: MatcherConfig) -> DataFrame:
-    """Multi-pass blocking: token pass ∪ sorted-neighborhood pass (B1+B2+B4)."""
-    tok = token_blocking(records_norm, df_cap=cfg.token_df_cap)
+    """Multi-pass blocking: token pass ∪ sorted-neighborhood pass (B1+B2+B4).
+
+    Per-pass dedup is skipped (dedupe=False): union_candidates pays for the
+    one pair-dedup shuffle that multi-pass blocking actually needs.
+    """
+    tok = token_blocking(records_norm, df_cap=cfg.token_df_cap, dedupe=False)
     sn = sorted_neighborhood(
-        records_norm, window=cfg.sn_window, num_buckets=cfg.sn_buckets
+        records_norm, window=cfg.sn_window, num_buckets=cfg.sn_buckets, dedupe=False
     )
-    return union_candidates(tok, sn)
+    return union_candidates_meta(
+        tok, sn, min_token_overlap=cfg.min_token_overlap
+    )
 
 
 def resolve_entities(
@@ -58,11 +68,18 @@ def resolve_entities(
 ) -> DataFrame:
     """Full in-memory plan: records → records + content_sha + entity_id."""
     cfg = cfg or MatcherConfig()
-    norm = normalize_records(records)
+    # norm feeds two blocking passes, two scoring joins, the CC node set and
+    # the final emit — persist it once instead of re-scanning + re-tokenizing
+    # the input per consumer. (The checkpointed pipeline gets the same effect
+    # from its stage sinks.)
+    norm = normalize_records(records).persist()
     pairs = candidate_pairs(norm, cfg)
-    scored = score_pairs(
-        attach_pair_attrs(pairs, norm, salt_buckets=cfg.salt_buckets),
+    scored = score_pairs_pruned(
+        pairs,
+        norm,
         weights=cfg.weights,
+        threshold=cfg.threshold,
+        salt_buckets=cfg.salt_buckets,
     )
     edges = edges_from_scores(scored, threshold=cfg.threshold)
     labels = connected_components(

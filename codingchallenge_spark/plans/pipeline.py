@@ -34,13 +34,12 @@ from codingchallenge_spark.functions.normalize import normalize_records
 from codingchallenge_spark.operators.blocking import (
     sorted_neighborhood,
     token_blocking,
-    union_candidates,
+    union_candidates_meta,
 )
 from codingchallenge_spark.operators.cc import connected_components
 from codingchallenge_spark.operators.scoring import (
-    attach_pair_attrs,
     edges_from_scores,
-    score_pairs,
+    score_pairs_pruned,
 )
 from codingchallenge_spark.plans.matcher import MatcherConfig
 from codingchallenge_spark.sources import checkpoint as ckpt
@@ -121,26 +120,35 @@ def run_pipeline(
     tok_pairs = stage(
         "block_token",
         ["normalize"],
-        lambda: token_blocking(norm_narrow, df_cap=cfg.token_df_cap),
+        lambda: token_blocking(norm_narrow, df_cap=cfg.token_df_cap, dedupe=False),
     )
     sn_pairs = stage(
         "block_sn",
         ["normalize"],
         lambda: sorted_neighborhood(
-            norm_narrow, window=cfg.sn_window, num_buckets=cfg.sn_buckets
+            norm_narrow, window=cfg.sn_window, num_buckets=cfg.sn_buckets,
+            dedupe=False,
         ),
     )
     pairs = stage(
         "pairs",
         ["block_token", "block_sn"],
-        lambda: union_candidates(tok_pairs, sn_pairs),
+        lambda: union_candidates_meta(
+            tok_pairs, sn_pairs, min_token_overlap=cfg.min_token_overlap
+        ),
     )
+    # The scored stage persists only pairs whose score can reach the
+    # threshold (exact upper-bound prune, see score_pairs_pruned) — the
+    # pruned pairs are provably non-edges, so resume semantics are unchanged.
     scored = stage(
         "score",
         ["pairs", "normalize"],
-        lambda: score_pairs(
-            attach_pair_attrs(pairs, norm_narrow, salt_buckets=cfg.salt_buckets),
+        lambda: score_pairs_pruned(
+            pairs,
+            norm_narrow,
             weights=cfg.weights,
+            threshold=cfg.threshold,
+            salt_buckets=cfg.salt_buckets,
         ),
     )
     edges = stage(

@@ -39,12 +39,25 @@ def build_session(
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
-    conf = {
+    conf = {}
+    if master and master.startswith("local"):
+        # Local mode launches the JVM from here, so the heap must be sized
+        # now — the 1g default OOMs with 32 task threads sharing one heap.
+        # On a cluster spark-submit owns driver/executor memory; never set
+        # it from library code there (master=None skips this branch).
+        conf["spark.driver.memory"] = os.environ.get(
+            "CCSPARK_DRIVER_MEMORY", "48g"
+        )
+    conf |= {
         # Adaptive execution: runtime shuffle-partition coalescing + skew-join
         # splitting (BASELINE.json:6 "AQE-tuned shuffle partitions").
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Let the planner broadcast genuinely small relations (e.g. the
+        # record-attribute side of the pair fan-in join at test scale) —
+        # size-based, so a 10^12-row records table still gets SMJ/SHJ.
+        "spark.sql.autoBroadcastJoinThreshold": "256m",
         # Arrow data plane for pandas UDFs (BASELINE.json:15 "no per-row Python").
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
