@@ -832,6 +832,68 @@ SQL_EMBEDDING_NEARDUP = (
 
 
 # ---------------------------------------------------------------------------
+# Multimodal: opaque binary payloads + typed metadata (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+def _media_view(spark, sf_dir) -> DataFrame:
+    """Deterministic media table derived from documents: payload is the UTF-8
+    encoding of text (an opaque binary stand-in — no codec libs exist here),
+    metadata typed per MEDIA_SCHEMA. Same derivation is expressible in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("audio").alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def q_media_payload_sha(spark, sf_dir):
+    # The SQL-checkable half of feature extraction: per-payload content
+    # hash + byte length, computed through the real mapInPandas Arrow path.
+    from codingchallenge_spark.operators.multimodal import extract_features
+
+    return extract_features(_media_view(spark, sf_dir), fake=True).select(
+        "media_id", "payload_sha", "byte_len"
+    )
+
+
+SQL_MEDIA_PAYLOAD_SHA = (
+    # payload = encode(text): sha256 over those bytes == sha256 of the string.
+    "SELECT doc_id::VARCHAR AS media_id, sha256(text) AS payload_sha, "
+    "octet_length(encode(text))::BIGINT AS byte_len FROM documents"
+)
+
+
+def q_frame_sample(spark, sf_dir):
+    from codingchallenge_spark.operators.multimodal import frame_sample_plan
+
+    return frame_sample_plan(_media_view(spark, sf_dir), every_ms=1000)
+
+
+SQL_FRAME_SAMPLE = (
+    # Spark sequence(0, max(duration-1, 0), 1000) → 0..duration-1 step 1000.
+    # DuckDB 1.0 range() rejects lateral column args → static position table.
+    "WITH pos AS (SELECT range AS i FROM range(0, 1000)) "
+    "SELECT doc_id::VARCHAR AS media_id, (i * 1000)::INT AS sample_ms "
+    "FROM documents, pos WHERE i * 1000 <= greatest(n_chars * 10 - 1, 0)"
+)
+
+
+def q_media_features(spark, sf_dir):
+    # Rows-only: the deterministic fake feature vectors exercise the full
+    # Arrow batch shape (binary in → array<float> out).
+    from codingchallenge_spark.operators.multimodal import extract_features
+
+    return extract_features(_media_view(spark, sf_dir), fake=True)
+
+
+# ---------------------------------------------------------------------------
 # Rows-only (non-SQL-expressible) operators
 # ---------------------------------------------------------------------------
 
@@ -922,6 +984,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # embeddings
     "q_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "q_embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    # multimodal plumbing
+    "q_media_payload_sha": (q_media_payload_sha, SQL_MEDIA_PAYLOAD_SHA),
+    "q_frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+    "q_media_features": (q_media_features, None),
     # rows-only
     "q_approx_count_distinct": (q_approx_count_distinct, None),
     "q_ann_lsh": (q_ann_lsh, None),
