@@ -85,3 +85,18 @@ def normalize_records(df: DataFrame) -> DataFrame:
         .withColumn("name_norm", name_norm())
         .withColumn("tokens", tokenize())
     )
+
+
+def with_token_hashes(records_norm: DataFrame) -> DataFrame:
+    """Append ``th`` = sorted xxhash64 fingerprints of ``tokens``.
+
+    This column MUST be materialized (persisted / written by the normalize
+    stage) before scoring: the expression is array_sort∘transform, which Spark
+    evaluates interpreted (higher-order functions are not codegen-able), so
+    computing it lazily inside the scoring query re-pays the interpreted eval
+    on every execution AND serializes scoring behind the normalize scan's
+    partitioning. Materialized once per record it is a cheap one-time pass.
+    """
+    from codingchallenge_spark.functions.similarity import token_hashes
+
+    return records_norm.withColumn("th", token_hashes("tokens"))

@@ -53,13 +53,53 @@ def _encode(strs, max_len: int = MAX_LEN) -> tuple[np.ndarray, np.ndarray]:
     return codes.reshape(n, max_len), lens
 
 
-def levenshtein_batch(s1, s2, max_len: int = MAX_LEN) -> np.ndarray:
-    """Batched Levenshtein distance (int32), vectorized across the batch."""
+def _encode_pair(
+    s1, s2, max_len: int = MAX_LEN
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Joint encode of both sides, optimized for memory traffic — both kernels
+    are DRAM-bandwidth-bound, not FLOP-bound, so the matrices are (a) trimmed
+    to the batch's true max length instead of the MAX_LEN pad, and (b)
+    relabeled to uint8 through a joint alphabet rank map when the two sides
+    use ≤255 distinct codepoints (the common case: normalized name keys are
+    lowercase a-z0-9 + space). Safe because both kernels consume codes only
+    through length-masked EQUALITY comparisons — any injective relabeling
+    shared by the two sides preserves every comparison."""
     a, la = _encode(s1, max_len)
     b, lb = _encode(s2, max_len)
+    trim = int(max(la.max(initial=0), lb.max(initial=0), 1))
+    a, b = a[:, :trim], b[:, :trim]
+    alphabet = np.unique(np.concatenate([a.ravel(), b.ravel()]))
+    if alphabet.size <= 255:
+        a = np.searchsorted(alphabet, a).astype(np.uint8)
+        b = np.searchsorted(alphabet, b).astype(np.uint8)
+    return a, la, b, lb
+
+
+# Kernel-internal chunk size: temporaries for a 2048-row slice stay L2/L3
+# resident, which is what lets 32 concurrent Python workers scale — full
+# 10k-row Arrow batches thrash DRAM bandwidth at high core counts.
+_KERNEL_CHUNK = 2048
+
+
+def _chunked(kernel, s1, s2, dtype, max_len: int = MAX_LEN) -> np.ndarray:
+    n = len(s1)
+    if n <= _KERNEL_CHUNK:
+        return kernel(s1, s2, max_len)
+    s1 = pd.Series(s1, dtype=object).reset_index(drop=True)
+    s2 = pd.Series(s2, dtype=object).reset_index(drop=True)
+    out = np.empty(n, dtype=dtype)
+    for i in range(0, n, _KERNEL_CHUNK):
+        out[i : i + _KERNEL_CHUNK] = kernel(
+            s1.iloc[i : i + _KERNEL_CHUNK], s2.iloc[i : i + _KERNEL_CHUNK], max_len
+        )
+    return out
+
+
+def _lev_dist_core(
+    a: np.ndarray, la: np.ndarray, b: np.ndarray, lb: np.ndarray
+) -> np.ndarray:
+    """Levenshtein distances (int32) from jointly-encoded matrices."""
     n = a.shape[0]
-    if n == 0:
-        return np.zeros(0, dtype=np.int32)
     la_max = int(la.max(initial=0))
     lb_max = int(lb.max(initial=0))
     res = np.zeros(n, dtype=np.int32)
@@ -86,20 +126,36 @@ def levenshtein_batch(s1, s2, max_len: int = MAX_LEN) -> np.ndarray:
     return res
 
 
-def levenshtein_ratio_batch(s1, s2, max_len: int = MAX_LEN) -> np.ndarray:
-    dist = levenshtein_batch(s1, s2, max_len).astype(np.float64)
-    _, la = _encode(s1, max_len)
-    _, lb = _encode(s2, max_len)
+def _levenshtein_block(s1, s2, max_len: int = MAX_LEN) -> np.ndarray:
+    a, la, b, lb = _encode_pair(s1, s2, max_len)
+    if a.shape[0] == 0:
+        return np.zeros(0, dtype=np.int32)
+    return _lev_dist_core(a, la, b, lb)
+
+
+def levenshtein_batch(s1, s2, max_len: int = MAX_LEN) -> np.ndarray:
+    """Batched Levenshtein distance (int32), vectorized across the batch."""
+    return _chunked(_levenshtein_block, s1, s2, np.int32, max_len)
+
+
+def _levenshtein_ratio_block(s1, s2, max_len: int = MAX_LEN) -> np.ndarray:
+    a, la, b, lb = _encode_pair(s1, s2, max_len)
+    if a.shape[0] == 0:
+        return np.zeros(0, dtype=np.float64)
+    dist = _lev_dist_core(a, la, b, lb).astype(np.float64)
     denom = np.maximum(np.maximum(la, lb), 1).astype(np.float64)
     out = 1.0 - dist / denom
     out[(la == 0) & (lb == 0)] = 1.0
     return out
 
 
-def jaro_winkler_batch(s1, s2, max_len: int = MAX_LEN) -> np.ndarray:
-    """Batched Jaro-Winkler similarity (float64 in [0,1])."""
-    a, la = _encode(s1, max_len)
-    b, lb = _encode(s2, max_len)
+def levenshtein_ratio_batch(s1, s2, max_len: int = MAX_LEN) -> np.ndarray:
+    return _chunked(_levenshtein_ratio_block, s1, s2, np.float64, max_len)
+
+
+def _jaro_winkler_block(s1, s2, max_len: int = MAX_LEN) -> np.ndarray:
+    """Jaro-Winkler similarity (float64 in [0,1]) for one kernel chunk."""
+    a, la, b, lb = _encode_pair(s1, s2, max_len)
     n, L = a.shape
     if n == 0:
         return np.zeros(0, dtype=np.float64)
@@ -128,8 +184,8 @@ def jaro_winkler_batch(s1, s2, max_len: int = MAX_LEN) -> np.ndarray:
     # Transpositions: compare the two matched-char sequences in order.
     ra = np.cumsum(match_a, axis=1) - 1
     rb = np.cumsum(used_b, axis=1) - 1
-    seq_a = np.zeros((n, L), dtype=np.uint32)
-    seq_b = np.zeros((n, L), dtype=np.uint32)
+    seq_a = np.zeros((n, L), dtype=a.dtype)
+    seq_b = np.zeros((n, L), dtype=a.dtype)
     r, c = np.nonzero(match_a)
     seq_a[r, ra[r, c]] = a[r, c]
     r, c = np.nonzero(used_b)
@@ -144,12 +200,17 @@ def jaro_winkler_batch(s1, s2, max_len: int = MAX_LEN) -> np.ndarray:
         m > 0, (m_f / la_f + m_f / lb_f + (m_f - t) / m_safe) / 3.0, 0.0
     )
     # Winkler boost: common prefix (≤4), positions valid in both strings.
-    k = WINKLER_MAX_PREFIX
+    k = min(WINKLER_MAX_PREFIX, L)  # matrices are trimmed to the batch max len
     eq = (a[:, :k] == b[:, :k]) & (np.arange(k)[None, :] < np.minimum(la, lb)[:, None])
     pl = np.cumprod(eq, axis=1).sum(axis=1).astype(np.float64)
     boost = jaro > WINKLER_BOOST_THRESHOLD  # strcmp95 / DuckDB convention
     jw = jaro + boost * pl * WINKLER_PREFIX_WEIGHT * (1.0 - jaro)
     return jw
+
+
+def jaro_winkler_batch(s1, s2, max_len: int = MAX_LEN) -> np.ndarray:
+    """Batched Jaro-Winkler similarity (float64 in [0,1])."""
+    return _chunked(_jaro_winkler_block, s1, s2, np.float64, max_len)
 
 
 def token_jaccard(c1: Column | str, c2: Column | str) -> Column:

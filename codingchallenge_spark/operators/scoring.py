@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from codingchallenge_spark.functions.similarity import (
+    hashed_jaccard_batch,
     hashed_jaccard_udf,
     jaro_winkler_batch,
     jaro_winkler_udf,
@@ -134,7 +135,14 @@ def score_pairs_pruned(
     # 8-byte longs instead of token strings, and the batched numpy Jaccard
     # kernel runs on primitive arrays (hashed_jaccard_batch). ~3× faster than
     # JVM array_intersect on string arrays at 10⁷ pairs, identical values.
-    toks = records_norm.select("rid", token_hashes("tokens").alias("th"))
+    # A precomputed ``th`` column (normalize.with_token_hashes) is used as-is:
+    # array_sort∘transform is INTERPRETED (higher-order fns don't codegen), so
+    # recomputing it per query execution serializes the whole scoring stage
+    # behind a few interpreted-eval tasks. Materialize once, join many.
+    if "th" in records_norm.columns:
+        toks = records_norm.select("rid", "th")
+    else:
+        toks = records_norm.select("rid", token_hashes("tokens").alias("th"))
     if salt_buckets > 0:
         with_tok = salted_join(pairs, toks, "rid1", salt_buckets)
         with_tok = with_tok.withColumnRenamed("th", "th1")
@@ -170,6 +178,111 @@ def score_pairs_pruned(
         + F.col("jaccard") * F.lit(w["jaccard"]),
     )
     return scored.select(*keep, "jw", "lev", "jaccard", "score")
+
+
+def fused_pair_attrs(
+    pairs: DataFrame, records_norm: DataFrame, salt_buckets: int = 0
+) -> DataFrame:
+    """Single-round attribute fan-in for the fused scorer: each side joined
+    ONCE, shipping (name_norm, th) together. Half the joins / broadcast
+    builds of a jaccard-then-names two-round plan."""
+    keep = [c for c in ("rid1", "rid2", "block_key") if c in pairs.columns]
+    if "th" in records_norm.columns:
+        attrs = records_norm.select("rid", "name_norm", "th")
+    else:
+        attrs = records_norm.select(
+            "rid", "name_norm", token_hashes("tokens").alias("th")
+        )
+    if salt_buckets > 0:
+        joined = salted_join(pairs, attrs, "rid1", salt_buckets)
+        joined = joined.withColumnsRenamed({"name_norm": "name1", "th": "th1"})
+        joined = salted_join(joined, attrs, "rid2", salt_buckets)
+        joined = joined.withColumnsRenamed({"name_norm": "name2", "th": "th2"})
+    else:
+        a1 = attrs.select(
+            F.col("rid").alias("rid1"),
+            F.col("name_norm").alias("name1"),
+            F.col("th").alias("th1"),
+        )
+        a2 = attrs.select(
+            F.col("rid").alias("rid2"),
+            F.col("name_norm").alias("name2"),
+            F.col("th").alias("th2"),
+        )
+        joined = pairs.join(a1, "rid1").join(a2, "rid2")
+    return joined.select(*keep, "name1", "name2", "th1", "th2")
+
+
+def fused_kernel(
+    joined: DataFrame,
+    weights: dict[str, float] | None = None,
+    threshold: float = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """The single-crossing scoring kernel over ``fused_pair_attrs`` output:
+    one mapInPandas pass computes hashed Jaccard, prunes on the exact score
+    upper bound, and runs jw/lev only on (and emits only) surviving rows."""
+    w = weights or DEFAULT_WEIGHTS
+    has_bk = "block_key" in joined.columns
+    keep = ["rid1", "rid2"] + (["block_key"] if has_bk else [])
+    schema = SCORED_SCHEMA if has_bk else SCORED_SCHEMA.replace(
+        "block_key string, ", ""
+    )
+    min_bound = threshold - (w["jw"] + w["lev"])  # prune iff w_jac·jac < this
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            jac = hashed_jaccard_batch(pdf["th1"], pdf["th2"])
+            if w["jaccard"] > 0 and min_bound > 0:
+                mask = (w["jaccard"] * jac) >= min_bound
+            else:
+                mask = np.ones(len(pdf), dtype=bool)
+            if not mask.all():
+                pdf = pdf.iloc[mask.nonzero()[0]]
+                jac = jac[mask]
+            jw = jaro_winkler_batch(pdf["name1"], pdf["name2"])
+            lev = levenshtein_ratio_batch(pdf["name1"], pdf["name2"])
+            out = {k: pdf[k] for k in keep}
+            out |= {
+                "jw": jw,
+                "lev": lev,
+                "jaccard": jac,
+                "score": w["jw"] * jw + w["lev"] * lev + w["jaccard"] * jac,
+            }
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(fn, schema)
+
+
+def score_pairs_fused(
+    pairs: DataFrame,
+    records_norm: DataFrame,
+    weights: dict[str, float] | None = None,
+    threshold: float = DEFAULT_THRESHOLD,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Production scorer: ONE Arrow crossing, prune inside the kernel.
+
+    Same result set as :func:`score_pairs_pruned` (tested equal), but the
+    plan is built for high concurrency:
+
+    - ONE attribute join round per side ships (name_norm, th) together —
+      half the joins / broadcast builds of the two-round jaccard-then-names
+      plan, and nothing is joined twice (:func:`fused_pair_attrs`).
+    - ONE mapInPandas crossing per task (:func:`fused_kernel`). Spark
+      serializes Python-worker creation JVM-wide (SparkEnv.createPythonWorker
+      is a global lock), so a plan with two Arrow-eval nodes needs 2×tasks
+      workers and cold runs serialize behind the spawn lock at high core
+      counts (measured: 14/32 executor threads blocked on it). One crossing
+      needs one worker per task and one Arrow transfer of the batch.
+    - The exact score upper bound (score ≤ w_jw + w_lev + w_jac·jaccard)
+      prunes INSIDE the kernel: jw/lev run only on rows whose bound reaches
+      ``threshold``, and only those rows are emitted — identical survivor
+      set, no second join to fetch names for survivors.
+    """
+    joined = fused_pair_attrs(pairs, records_norm, salt_buckets)
+    return fused_kernel(joined, weights=weights, threshold=threshold)
 
 
 def score_pairs_map_in_pandas(

@@ -15,7 +15,10 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
-from codingchallenge_spark.functions.normalize import normalize_records
+from codingchallenge_spark.functions.normalize import (
+    normalize_records,
+    with_token_hashes,
+)
 from codingchallenge_spark.operators.blocking import (
     DEFAULT_SN_WINDOW,
     DEFAULT_TOKEN_DF_CAP,
@@ -28,7 +31,7 @@ from codingchallenge_spark.operators.scoring import (
     DEFAULT_THRESHOLD,
     DEFAULT_WEIGHTS,
     edges_from_scores,
-    score_pairs_pruned,
+    score_pairs_fused,
 )
 
 
@@ -68,13 +71,23 @@ def resolve_entities(
 ) -> DataFrame:
     """Full in-memory plan: records → records + content_sha + entity_id."""
     cfg = cfg or MatcherConfig()
+    # Partition floor: a small input parquet scans into few partitions, and
+    # since every downstream stage that reads the persisted norm inherits
+    # them, that would cap the whole job's parallelism below the cluster's.
+    # At production scale the input has far more splits than cores and this
+    # is a no-op.
+    parallelism = records.sparkSession.sparkContext.defaultParallelism
+    if records.rdd.getNumPartitions() < parallelism:
+        records = records.repartition(parallelism)
     # norm feeds two blocking passes, two scoring joins, the CC node set and
     # the final emit — persist it once instead of re-scanning + re-tokenizing
     # the input per consumer. (The checkpointed pipeline gets the same effect
-    # from its stage sinks.)
-    norm = normalize_records(records).persist()
+    # from its stage sinks.) ``th`` (token-hash fingerprints) is materialized
+    # here because its expression is interpreted-eval (normalize.
+    # with_token_hashes) — persisted once, scoring joins it for free.
+    norm = with_token_hashes(normalize_records(records)).persist()
     pairs = candidate_pairs(norm, cfg)
-    scored = score_pairs_pruned(
+    scored = score_pairs_fused(
         pairs,
         norm,
         weights=cfg.weights,
@@ -85,4 +98,4 @@ def resolve_entities(
     labels = connected_components(
         edges, nodes=norm.select("rid"), max_iterations=cfg.cc_max_iterations
     ).labels
-    return norm.drop("name_norm", "tokens").join(labels, "rid")
+    return norm.drop("name_norm", "tokens", "th").join(labels, "rid")

@@ -30,7 +30,10 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from codingchallenge_spark.functions.normalize import normalize_records
+from codingchallenge_spark.functions.normalize import (
+    normalize_records,
+    with_token_hashes,
+)
 from codingchallenge_spark.operators.blocking import (
     sorted_neighborhood,
     token_blocking,
@@ -39,7 +42,7 @@ from codingchallenge_spark.operators.blocking import (
 from codingchallenge_spark.operators.cc import connected_components
 from codingchallenge_spark.operators.scoring import (
     edges_from_scores,
-    score_pairs_pruned,
+    score_pairs_fused,
 )
 from codingchallenge_spark.plans.matcher import MatcherConfig
 from codingchallenge_spark.sources import checkpoint as ckpt
@@ -114,8 +117,19 @@ def run_pipeline(
             executed.append(name)
         return ckpt.load_stage(spark, run_dir, name)
 
-    norm = stage("normalize", [], lambda: normalize_records(records))
-    norm_narrow = norm.select("rid", "name_norm", "tokens")
+    def build_normalize() -> DataFrame:
+        recs = records
+        # Partition floor (see plans.matcher): small scans must not cap the
+        # whole run's parallelism. No-op at production scale.
+        parallelism = spark.sparkContext.defaultParallelism
+        if recs.rdd.getNumPartitions() < parallelism:
+            recs = recs.repartition(parallelism)
+        # th (token-hash fingerprints) is interpreted-eval — materialize it
+        # in the stage parquet so scoring never recomputes it per execution.
+        return with_token_hashes(normalize_records(recs))
+
+    norm = stage("normalize", [], build_normalize)
+    norm_narrow = norm.select("rid", "name_norm", "tokens", "th")
 
     tok_pairs = stage(
         "block_token",
@@ -143,7 +157,7 @@ def run_pipeline(
     scored = stage(
         "score",
         ["pairs", "normalize"],
-        lambda: score_pairs_pruned(
+        lambda: score_pairs_fused(
             pairs,
             norm_narrow,
             weights=cfg.weights,
@@ -178,7 +192,7 @@ def run_pipeline(
     entities = stage(
         "entities",
         ["cc", "normalize"],
-        lambda: norm.drop("name_norm", "tokens").join(labels, "rid"),
+        lambda: norm.drop("name_norm", "tokens", "th").join(labels, "rid"),
     )
     return PipelineRun(
         entities=entities, executed=executed, skipped=skipped, run_dir=run_dir

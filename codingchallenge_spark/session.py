@@ -48,6 +48,17 @@ def build_session(
         conf["spark.driver.memory"] = os.environ.get(
             "CCSPARK_DRIVER_MEMORY", "48g"
         )
+        # Shuffle/spill dir: tmpfs when available. 32 concurrent shuffle
+        # writers through the page cache onto a virtio disk serialize the
+        # whole job in writeback (measured: 83% sys time, 5× stage slowdown
+        # at local[32] vs local[8]). On a real cluster local dirs are
+        # admin-provisioned NVMe — never set from library code (master=None).
+        local_dir = os.environ.get("CCSPARK_LOCAL_DIR")
+        if local_dir is None and Path("/dev/shm").is_dir():
+            local_dir = "/dev/shm/ccspark-local"
+        if local_dir:
+            Path(local_dir).mkdir(parents=True, exist_ok=True)
+            conf["spark.local.dir"] = local_dir
     conf |= {
         # Adaptive execution: runtime shuffle-partition coalescing + skew-join
         # splitting (BASELINE.json:6 "AQE-tuned shuffle partitions").

@@ -1,0 +1,153 @@
+"""Physical-plan quality gates (SURVEY.md §4).
+
+Correctness tests prove the operators compute the right answer; these prove
+the *plans* are the ones that survive a 100× scale-up: predicates and column
+projections reach the parquet scan, small dimensions broadcast, the wide
+``content`` column never travels through blocking/scoring shuffles, and the
+scoring stage keeps its Arrow crossings down to the designed count.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from codingchallenge_spark.functions.normalize import (
+    normalize_records,
+    with_token_hashes,
+)
+from codingchallenge_spark.operators.scoring import (
+    score_pairs_fused,
+    score_pairs_pruned,
+)
+from codingchallenge_spark.plans.matcher import MatcherConfig, candidate_pairs
+from codingchallenge_spark.plans.query_pack import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = queries()["q_filter_pushdown"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    # Both predicates are sargable and must be pushed, not just evaluated post-scan.
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(l_quantity", plan), plan
+    assert re.search(r"PushedFilters: \[.*EqualTo\(l_returnflag,R\)", plan), plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = queries()["q_scan_project"](spark, SF)
+    plan = _plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    # 3-column projection over a 16-column table: the scan reads exactly 3.
+    assert read_cols == {"l_orderkey", "l_linenumber", "l_quantity"}, read_cols
+
+
+def test_small_dims_broadcast(spark):
+    df = queries()["q_broadcast_join"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_whole_stage_codegen_covers_quality_metrics(spark):
+    # Text-analysis expressions must stay JVM-side: no Python eval nodes.
+    # (The stopword higher-order filter is interpreted-eval — Spark can't
+    # codegen higher-order functions — but it must never become a UDF.)
+    df = queries()["q_quality"](spark, SF)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "\n+- * " in plan or "WholeStageCodegen" in plan, plan
+
+
+def test_content_never_enters_blocking_or_scoring(spark, tiny_records):
+    """The wide column must stay at the scan/normalize boundary: blocking and
+    scoring plans may only carry (rid, name_norm, tokens, th) derivatives."""
+    cfg = MatcherConfig()
+    norm = with_token_hashes(normalize_records(tiny_records)).select(
+        "rid", "name_norm", "tokens", "th"
+    )
+    pairs = candidate_pairs(norm, cfg)
+    scored = score_pairs_fused(pairs, norm, weights=cfg.weights,
+                               threshold=cfg.threshold)
+    plan = _plan(scored)
+    assert "content" not in plan, "wide column leaked into the scoring plan"
+
+
+def test_scoring_python_crossings_bounded(spark, tiny_records):
+    """The production (fused) scoring plan has exactly ONE Python crossing —
+    a single mapInPandas node computes jaccard, prunes on the exact score
+    bound, and runs jw/lev on survivors. The two-crossing pruned variant is
+    kept for parity testing and must stay at 2."""
+    cfg = MatcherConfig()
+    norm = with_token_hashes(normalize_records(tiny_records)).select(
+        "rid", "name_norm", "tokens", "th"
+    )
+    pairs = candidate_pairs(norm, cfg)
+
+    fused = score_pairs_fused(pairs, norm, weights=cfg.weights,
+                              threshold=cfg.threshold)
+    plan = _plan(fused)
+    # formatted explain prints each node in the tree AND the detail section —
+    # count detail headers "(NN) MapInPandas".
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+    pruned = score_pairs_pruned(pairs, norm, weights=cfg.weights,
+                                threshold=cfg.threshold)
+    plan2 = _plan(pruned)
+    # the two-crossing design may be split further by the planner — the
+    # invariant that motivates the fused production path is ">1 crossing".
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan2)) >= 2, plan2
+    assert "BatchEvalPython" not in plan2
+
+
+def test_fused_equals_pruned(spark, tiny_records):
+    """Exactness of the in-kernel prune: the fused single-crossing scorer
+    yields the identical (rid1, rid2, jw, lev, jaccard, score) multiset as
+    the two-crossing pruned scorer."""
+    cfg = MatcherConfig()
+    norm = with_token_hashes(normalize_records(tiny_records)).persist()
+    pairs = candidate_pairs(norm, cfg).persist()
+    a = score_pairs_pruned(pairs, norm, weights=cfg.weights,
+                           threshold=cfg.threshold)
+    b = score_pairs_fused(pairs, norm, weights=cfg.weights,
+                          threshold=cfg.threshold)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    norm.unpersist()
+    pairs.unpersist()
+
+
+def test_no_cartesian_anywhere_in_matcher(spark, tiny_records):
+    cfg = MatcherConfig()
+    from codingchallenge_spark.plans.matcher import resolve_entities
+
+    out = resolve_entities(tiny_records, cfg)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_exchange_count_in_token_blocking(spark, tiny_records):
+    """Token blocking = explode → hot-key anti-join → self-join: the self-join
+    needs exactly one exchange per side on `tok` (plus the tiny hot-list
+    aggregation); no additional repartition creeps in."""
+    from codingchallenge_spark.operators.blocking import token_blocking
+
+    norm = normalize_records(tiny_records).select("rid", "name_norm", "tokens")
+    plan = _plan(token_blocking(norm))
+    # hashpartitioning on tok for the join; the rid1<rid2 filter must NOT
+    # force an extra shuffle.
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
