@@ -42,8 +42,14 @@ HEADLINE = [
     "q_double_join_agg",    # lineitem ⋈ orders ⋈ customer fan-in
     "q_window_lead",        # partitioned window over 100k events
     "q_topk_per_group",     # row_number + filter (per-group top-k)
-    "q_explode_selfjoin",   # token-blocking shuffle shape
+    "q_jaccard_pairs",      # blocked pair scoring, JVM-native Jaccard
+    "q_dedup_fingerprint",  # order-invariant doc fingerprint dedup
     "q_minhash_lsh_pairs",  # MinHash signature + banded LSH self-join
+                            # (capped-bucket self-join — the production
+                            # blocking shape; the uncapped explode self-join
+                            # stays in the oracle pack but not the headline:
+                            # its cost is the quadratic hot-key blow-up the
+                            # engine's df_cap exists to prevent)
     "q_quality",            # text quality metrics (JVM-side, codegen)
     "q_cosine_topk",        # brute-force ANN baseline over embeddings
     "q_er_entities",        # flagship: full record-linkage plan + CC

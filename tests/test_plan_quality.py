@@ -73,6 +73,10 @@ def test_whole_stage_codegen_covers_quality_metrics(spark):
 def test_content_never_enters_blocking_or_scoring(spark, tiny_records):
     """The wide column must stay at the scan/normalize boundary: blocking and
     scoring plans may only carry (rid, name_norm, tokens, th) derivatives."""
+    # Other tests may have persisted plans that carry `content`; cache
+    # substitution would splice their InMemoryRelation description into this
+    # plan string and fail the assertion spuriously.
+    spark.catalog.clearCache()
     cfg = MatcherConfig()
     norm = with_token_hashes(normalize_records(tiny_records)).select(
         "rid", "name_norm", "tokens", "th"
