@@ -117,6 +117,91 @@ def add_lsh_sketch(
     return df.withColumn("_bands", sketch(F.col(vec_col)))
 
 
+def _ivf_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> "np.ndarray":
+    """Deterministic centroid seed set: the ``n_centroids`` corpus vectors
+    with the smallest xxhash64(id) — a seeded uniform sample without RNG
+    state, stable across runs/partitionings. orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition top-k, merged on the driver) — no
+    global sort, no single-partition window, scales to any corpus size."""
+    seeds = (
+        corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("_i"))
+        .orderBy(F.xxhash64(F.col("_i").cast("string")), F.col("_i"))
+        .limit(n_centroids)
+        .collect()
+    )
+    return np.asarray([r.v for r in seeds], dtype=np.float64)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine neighbors.
+
+    Scale path alongside :func:`lsh_topk`: corpus vectors are assigned to
+    their nearest centroid (one Arrow crossing, centroid matrix broadcast in
+    the UDF closure); queries probe their ``n_probe`` nearest centroids; the
+    bucket equi-join shuffles only same-cell candidates; exact cosine
+    re-ranks within cells. ``queries=None`` → all-pairs mode (corpus as
+    queries). Deterministic: hash-sampled centroids, no RNG state.
+
+    Returns [query_id, neighbor_id, cos, rank] (rank ≤ k per query).
+    """
+    cents = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    # Normalize centroid rows for cosine assignment.
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cents_n = cents / norms
+
+    def assign_udf(n_cells: int):
+        @F.pandas_udf("array<int>")
+        def assign(vecs: pd.Series) -> pd.Series:
+            out = []
+            for v in vecs:
+                if v is None or len(v) == 0:
+                    out.append([0])
+                    continue
+                x = np.asarray(v, dtype=np.float64)
+                nx = np.linalg.norm(x)
+                sims = cents_n @ (x / nx) if nx > 0 else np.zeros(len(cents_n))
+                top = np.argsort(-sims, kind="stable")[:n_cells]
+                out.append([int(c) for c in top])
+            return pd.Series(out)
+
+        return assign
+
+    c_assign = assign_udf(1)
+    q_assign = assign_udf(n_probe)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    ).withColumn("cell", F.element_at(c_assign(F.col("_cvec")), 1))
+    q = (queries if queries is not None else corpus).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    ).withColumn("cell", F.explode(q_assign(F.col("_qvec"))))
+
+    cand = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine_sim(F.col("_cvec"), F.col("_qvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     id_col: str = "vec_id",

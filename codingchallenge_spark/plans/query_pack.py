@@ -910,6 +910,12 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_topk(_t(spark, sf_dir, "embeddings"), k=5)
 
 
+def q_ann_ivf(spark, sf_dir):
+    from codingchallenge_spark.operators.ann import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), k=5, n_centroids=16, n_probe=4)
+
+
 def q_er_entities(spark, sf_dir):
     # Flagship ER slice (iterative CC — not SQL-expressible): cluster the
     # documents table mapped to repo-file shape.
@@ -991,6 +997,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # rows-only
     "q_approx_count_distinct": (q_approx_count_distinct, None),
     "q_ann_lsh": (q_ann_lsh, None),
+    "q_ann_ivf": (q_ann_ivf, None),
     "q_er_entities": (q_er_entities, None),
     "q_simhash64": (q_simhash64, None),
 }
