@@ -64,6 +64,27 @@ def minhash_signature(tokens: Column, k: int = 32) -> Column:
     )
 
 
+def minhash_signature_exploded(
+    docs: DataFrame, id_col: str, tokens_col: str, k: int
+) -> DataFrame:
+    """MinHash signatures via explode + k min-aggregates — identical values
+    to :func:`minhash_signature`, but every expression is codegen-able
+    (higher-order ``transform``/``array_min`` are interpreted-eval in Spark;
+    at corpus scale that serializes the signature pass). One shuffle with
+    map-side partial min. Returns [_id, sig:array<long>]."""
+    tok = docs.select(
+        F.col(id_col).alias("_id"), F.explode(F.col(tokens_col)).alias("_t")
+    )
+    aggs = [
+        F.min(portable_hash64(F.col("_t"), salt=i)).alias(f"_mh{i}")
+        for i in range(k)
+    ]
+    sig = tok.groupBy("_id").agg(*aggs)
+    return sig.select(
+        "_id", F.array(*[F.col(f"_mh{i}") for i in range(k)]).alias("sig")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str,
@@ -78,12 +99,15 @@ def minhash_lsh_pairs(
     equal. Degenerate buckets (> band_df_cap members, e.g. all-empty docs)
     are dropped via broadcast anti-join — same skew guard as token blocking.
     Returns [id1, id2] canonical + deduped.
+
+    Docs whose token array is empty produce no exploded rows and therefore no
+    signature/bucket — correct: an empty document shares no MinHash evidence
+    with anything (the interpreted array form would emit a null-filled
+    signature that collides all empties into one degenerate bucket, which the
+    cap would then drop anyway).
     """
     rows_per_band = k // bands
-    sig = docs.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(F.col(tokens_col), k).alias("sig"),
-    )
+    sig = minhash_signature_exploded(docs, id_col, tokens_col, k)
     band_cols = [
         F.sha2(
             F.concat_ws(

@@ -31,6 +31,6 @@ def test_queries_and_oracles_aligned():
     # every oracle key resolves; rows-only entries are the documented few
     rows_only = set(q) - set(o)
     assert rows_only == {
-        "q_approx_count_distinct", "q_ann_lsh", "q_er_entities", "q_simhash64",
-        "q_media_features",
+        "q_approx_count_distinct", "q_ann_lsh", "q_ann_ivf", "q_er_entities",
+        "q_simhash64", "q_media_features",
     }
