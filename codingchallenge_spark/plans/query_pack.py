@@ -400,6 +400,34 @@ SQL_ROLLUP = (
 )
 
 
+def q_cube(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_CUBE = (
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem "
+    "GROUP BY CUBE (l_returnflag, l_linestatus)"
+)
+
+
+def q_grouping_sets(spark, sf_dir):
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt FROM "
+        f"parquet.`{sf_dir}/orders.parquet` "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+    )
+
+
+SQL_GROUPING_SETS = (
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt FROM orders "
+    "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+)
+
+
 def q_distinct(spark, sf_dir):
     return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
 
@@ -967,6 +995,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),
     "q_min_agg": (q_min_agg, SQL_MIN_AGG),
     "q_rollup": (q_rollup, SQL_ROLLUP),
+    "q_cube": (q_cube, SQL_CUBE),
+    "q_grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "q_distinct": (q_distinct, SQL_DISTINCT),
     "q_least_greatest": (q_least_greatest, SQL_LEAST_GREATEST),
     "q_salted_join": (q_salted_join, SQL_SALTED_JOIN),
