@@ -48,7 +48,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
     _ensure_executors_have_package(spark)
     recs = documents_as_records(spark, "/root/testdata/sf0.001")
-    cfg = MatcherConfig(threshold=0.9)
+    # 0.75 matches q_er_entities (the oracle-checked flagship): non-trivial
+    # clusters on this corpus with a safe margin to every pair score.
+    cfg = MatcherConfig(threshold=0.75)
     return resolve_entities(recs, cfg)
 
 

@@ -37,6 +37,26 @@ from codingchallenge_spark.session import build_session  # noqa: E402
 
 # Ordered headline set: name -> query_pack entry. The ER flagship runs last so
 # its persist/unpersist churn never skews the relational timings.
+def _lsh_production(spark, sf_dir):
+    """MinHash-LSH with the PRODUCTION band cap (the default, 200).
+
+    The registered q_minhash_lsh_pairs deliberately disables the cap
+    (band_df_cap=10**9) so its DuckDB twin — which has no cap — hash-matches;
+    that uncapped form is the oracle shape, not what a 100-TB run executes.
+    The headline times the capped production plan: degenerate bands are
+    dropped by the broadcast anti-join before the bucket self-join, exactly
+    like token blocking's hot-key guard.
+    """
+    from pyspark.sql import functions as F
+
+    from codingchallenge_spark.operators.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    return minhash_lsh_pairs(d, "doc_id", "toks", k=8, bands=4)
+
+
 HEADLINE = [
     "q_groupby_agg",        # TPC-H Q1 shape: 600k-row hash aggregate
     "q_double_join_agg",    # lineitem ⋈ orders ⋈ customer fan-in
@@ -44,16 +64,14 @@ HEADLINE = [
     "q_topk_per_group",     # row_number + filter (per-group top-k)
     "q_jaccard_pairs",      # blocked pair scoring, JVM-native Jaccard
     "q_dedup_fingerprint",  # order-invariant doc fingerprint dedup
-    "q_minhash_lsh_pairs",  # MinHash signature + banded LSH self-join
-                            # (capped-bucket self-join — the production
-                            # blocking shape; the uncapped explode self-join
-                            # stays in the oracle pack but not the headline:
-                            # its cost is the quadratic hot-key blow-up the
-                            # engine's df_cap exists to prevent)
+    "q_minhash_lsh_prod",   # MinHash + banded LSH, production band cap
     "q_quality",            # text quality metrics (JVM-side, codegen)
     "q_cosine_topk",        # brute-force ANN baseline over embeddings
     "q_er_entities",        # flagship: full record-linkage plan + CC
 ]
+
+# Headline entries not in the oracle registry (production-configured forms).
+EXTRA_QUERIES = {"q_minhash_lsh_prod": _lsh_production}
 
 
 def _force(df) -> int:
@@ -75,7 +93,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
-    queries = query_pack.queries()
+    queries = {**query_pack.queries(), **EXTRA_QUERIES}
     # Warm-up: JVM + Python-worker pool + parquet footer reads, off the clock.
     _force(queries["q_scan_project"](spark, sf_dir))
 

@@ -121,17 +121,81 @@ def _ivf_centroids(
     corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
 ) -> "np.ndarray":
     """Deterministic centroid seed set: the ``n_centroids`` corpus vectors
-    with the smallest xxhash64(id) — a seeded uniform sample without RNG
-    state, stable across runs/partitionings. orderBy+limit compiles to
-    TakeOrderedAndProject (per-partition top-k, merged on the driver) — no
-    global sort, no single-partition window, scales to any corpus size."""
+    with the smallest portable md5 hash of their id — a seeded uniform sample
+    without RNG state, stable across runs/partitionings AND reproducible in
+    the DuckDB oracle (('0x'||substr(md5(id||'#0'),1,15))::BIGINT).
+    orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k,
+    merged on the driver) — no global sort, no single-partition window,
+    scales to any corpus size."""
+    from codingchallenge_spark.operators.dedup import portable_hash64
+
     seeds = (
         corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("_i"))
-        .orderBy(F.xxhash64(F.col("_i").cast("string")), F.col("_i"))
+        .orderBy(portable_hash64(F.col("_i").cast("string"), salt=0), F.col("_i"))
         .limit(n_centroids)
         .collect()
     )
     return np.asarray([r.v for r in seeds], dtype=np.float64)
+
+
+def _centroid_df(spark, cents: "np.ndarray") -> DataFrame:
+    return spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
+        "cent_id int, cvec array<double>",
+    )
+
+
+def _assign_cells_jvm(
+    vecs: DataFrame, id_col: str, vec_col: str, cents: "np.ndarray", n_cells: int
+) -> DataFrame:
+    """Nearest-centroid assignment fully JVM-side: cross join against the
+    broadcast (tiny) centroid table, sequential-fold cosine (bit-identical to
+    the DuckDB oracle's list_inner_product SQL), deterministic rank on
+    (round(sim, 9) DESC, cent_id). Appends ``cell`` (one row per probed cell).
+    """
+    cdf = _centroid_df(vecs.sparkSession, cents)
+    sims = vecs.crossJoin(F.broadcast(cdf)).withColumn(
+        "_sim", F.round(cosine_sim(F.col(vec_col), F.col("cvec")), 9)
+    )
+    other = [c for c in vecs.columns]
+    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cent_id"))
+    return (
+        sims.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= n_cells)
+        .select(*other, F.col("cent_id").alias("cell"))
+    )
+
+
+def lloyd_refine(
+    corpus: DataFrame,
+    vec_col: str,
+    cents: "np.ndarray",
+    iters: int = 1,
+) -> "np.ndarray":
+    """Deterministic Lloyd refinement of IVF centroids (k-means steps).
+
+    Each iteration: assign every corpus vector to its nearest centroid
+    (JVM-side, deterministic), then recompute each cell's centroid as the
+    per-dimension mean (posexplode + groupBy(cell, dim) — distributed partial
+    aggregation, only k·dim tiny rows are collected). Cells that lose all
+    members keep their previous centroid. Trained centroids tighten cells so
+    the same recall needs fewer probes (smaller n_probe/n_centroids ratio).
+    """
+    cents = np.array(cents, dtype=np.float64, copy=True)
+    vecs = corpus.select(
+        F.monotonically_increasing_id().alias("_vid"), F.col(vec_col).alias("_v")
+    )
+    for _ in range(iters):
+        assigned = _assign_cells_jvm(vecs, "_vid", "_v", cents, n_cells=1)
+        means = (
+            assigned.select("cell", F.posexplode("_v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("mu"))
+            .collect()
+        )
+        for r in means:
+            cents[r.cell][r.dim] = r.mu
+    return cents
 
 
 def ivf_topk(
@@ -142,56 +206,75 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    assign: str = "arrow",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine neighbors.
 
     Scale path alongside :func:`lsh_topk`: corpus vectors are assigned to
-    their nearest centroid (one Arrow crossing, centroid matrix broadcast in
-    the UDF closure); queries probe their ``n_probe`` nearest centroids; the
-    bucket equi-join shuffles only same-cell candidates; exact cosine
-    re-ranks within cells. ``queries=None`` → all-pairs mode (corpus as
-    queries). Deterministic: hash-sampled centroids, no RNG state.
+    their nearest centroid; queries probe their ``n_probe`` nearest
+    centroids; the bucket equi-join shuffles only same-cell candidates; exact
+    cosine re-ranks within cells. ``queries=None`` → all-pairs mode (corpus
+    as queries). Deterministic: hash-sampled centroids, no RNG state;
+    ``lloyd_iters`` > 0 runs that many deterministic k-means refinement
+    passes over the seeds (:func:`lloyd_refine`).
+
+    ``assign`` picks the assignment plan:
+    - ``"arrow"`` (production): one Arrow crossing, numpy matmul against the
+      centroid matrix in the UDF closure — the fast path at corpus scale.
+    - ``"jvm"``: broadcast cross join + sequential-fold cosine + window rank.
+      Bit-identical to DuckDB SQL, so the driver oracle can verify the whole
+      operator (higher-order fns are interpreted-eval — fine for the oracle
+      surface, not the production path).
 
     Returns [query_id, neighbor_id, cos, rank] (rank ≤ k per query).
     """
     cents = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
-    # Normalize centroid rows for cosine assignment.
-    norms = np.linalg.norm(cents, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    cents_n = cents / norms
-
-    def assign_udf(n_cells: int):
-        @F.pandas_udf("array<int>")
-        def assign(vecs: pd.Series) -> pd.Series:
-            out = []
-            for v in vecs:
-                if v is None or len(v) == 0:
-                    out.append([0])
-                    continue
-                x = np.asarray(v, dtype=np.float64)
-                nx = np.linalg.norm(x)
-                sims = cents_n @ (x / nx) if nx > 0 else np.zeros(len(cents_n))
-                top = np.argsort(-sims, kind="stable")[:n_cells]
-                out.append([int(c) for c in top])
-            return pd.Series(out)
-
-        return assign
-
-    c_assign = assign_udf(1)
-    q_assign = assign_udf(n_probe)
+    if lloyd_iters > 0:
+        cents = lloyd_refine(corpus, vec_col, cents, iters=lloyd_iters)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
-    ).withColumn("cell", F.element_at(c_assign(F.col("_cvec")), 1))
+    )
     q = (queries if queries is not None else corpus).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    ).withColumn("cell", F.explode(q_assign(F.col("_qvec"))))
+    )
+    if assign == "jvm":
+        c = _assign_cells_jvm(c, "neighbor_id", "_cvec", cents, n_cells=1)
+        q = _assign_cells_jvm(q, "query_id", "_qvec", cents, n_cells=n_probe)
+    else:
+        # Normalize centroid rows once; the UDF closure broadcasts them.
+        norms = np.linalg.norm(cents, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents_n = cents / norms
+
+        def assign_udf(n_cells: int):
+            @F.pandas_udf("array<int>")
+            def fn(vecs: pd.Series) -> pd.Series:
+                out = []
+                for v in vecs:
+                    if v is None or len(v) == 0:
+                        out.append([0])
+                        continue
+                    x = np.asarray(v, dtype=np.float64)
+                    nx = np.linalg.norm(x)
+                    sims = cents_n @ (x / nx) if nx > 0 else np.zeros(len(cents_n))
+                    top = np.argsort(-sims, kind="stable")[:n_cells]
+                    out.append([int(cc) for cc in top])
+                return pd.Series(out)
+
+            return fn
+
+        c = c.withColumn("cell", F.element_at(assign_udf(1)(F.col("_cvec")), 1))
+        q = q.withColumn("cell", F.explode(assign_udf(n_probe)(F.col("_qvec"))))
 
     cand = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", F.round(cosine_sim(F.col("_cvec"), F.col("_qvec")), 6))
     )
+    # No pair dedup needed: each corpus vector lives in exactly one cell, so
+    # a (query, neighbor) pair appears at most once across the probed cells.
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )

@@ -102,6 +102,8 @@ def sorted_neighborhood(
     ``num_buckets`` ranges, window *within* each partition (narrow, parallel),
     then patch the seams: rows within ``window`` of a partition edge are
     re-windowed in a second, tiny pass restricted to edge neighborhoods.
+    Output is EXACTLY the single-sort global SN pair set (the seam pass is
+    gap-aware — see inline comment), independent of bucket boundaries.
 
     Deterministic: sort key is (name_norm, rid) — total order, no ties.
     Returns DataFrame[rid1, rid2, block_key] canonical + deduped.
@@ -134,20 +136,52 @@ def sorted_neighborhood(
 
     inner = _pairs_over(bucketed, "part")
 
-    # Seam pass: first/last `window` rows of each range partition, re-windowed
-    # globally. This set has ≤ 2·window·num_buckets rows — tiny at any scale —
-    # so a single-partition window over it is safe.
+    # Seam pass: recover pairs that cross range-partition boundaries. Edge
+    # rows = first/last `window` rows of each partition (≤ 2·window·buckets
+    # rows total). Any true global pair (distance < window) that crosses a
+    # boundary lies entirely inside the edge set AND inside one gap-free
+    # stretch of it: the edge set, read in global (name_norm, rid) order, is
+    # globally contiguous except where a partition with > 2·window rows jumps
+    # from its head block to its tail block. Windowing by ``gap_id`` (stretch
+    # index) therefore yields EXACTLY the missing global pairs — no spurious
+    # head→tail pairs (they'd cross a gap), no constant-partition window
+    # (gap_id is a data-derived column, so Catalyst can't fold it away).
+    # This makes bucketed SN output identical to single-sort global SN — which
+    # is what the flagship's DuckDB oracle (plain lead() over one ORDER BY)
+    # computes.
     wp = Window.partitionBy("part").orderBy("name_norm", "rid")
     wpd = Window.partitionBy("part").orderBy(
         F.col("name_norm").desc(), F.col("rid").desc()
     )
-    edges = (
-        bucketed.withColumn("rn_a", F.row_number().over(wp))
-        .withColumn("rn_d", F.row_number().over(wpd))
-        .filter((F.col("rn_a") <= window) | (F.col("rn_d") <= window))
-        .select("rid", "name_norm", F.lit(0).alias("seam"))
+    flagged = bucketed.withColumn("rn_a", F.row_number().over(wp)).withColumn(
+        "rn_d", F.row_number().over(wpd)
     )
-    seam = _pairs_over(edges, "seam")
+    edges = flagged.filter((F.col("rn_a") <= window) | (F.col("rn_d") <= window))
+
+    # Tiny per-partition size table (≤ num_buckets rows): a partition is
+    # "gapped" iff interior rows were dropped (n > 2·window). gaps_before =
+    # number of gapped partitions preceding it (non-equi self-join over the
+    # metadata-sized table — no window, no cumsum over a constant partition).
+    parts = bucketed.groupBy("part").agg(F.count("*").alias("n"))
+    prior = parts.select(
+        F.col("part").alias("q"), (F.col("n") > 2 * window).cast("long").alias("g")
+    )
+    gaps_before = (
+        parts.join(F.broadcast(prior), F.col("q") < F.col("part"), "left")
+        .groupBy("part", "n")
+        .agg(F.coalesce(F.sum("g"), F.lit(0)).alias("gaps_before"))
+    )
+    seam_rows = edges.join(F.broadcast(gaps_before), "part").select(
+        "rid",
+        "name_norm",
+        (
+            F.col("gaps_before")
+            + F.when(
+                (F.col("n") > 2 * window) & (F.col("rn_a") > window), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("gap_id"),
+    )
+    seam = _pairs_over(seam_rows, "gap_id")
 
     return canonical_pairs(inner.unionByName(seam), dedupe=dedupe)
 

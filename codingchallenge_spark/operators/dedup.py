@@ -6,26 +6,22 @@ Four families, each Spark-first and SQL-oracle-checkable:
 - MinHash + LSH: portable md5-based hash (identical in DuckDB via
   ('0x'||substr(md5(t),1,15))::BIGINT), k-permutation signatures via
   higher-order array functions (JVM-side, no Python), banded LSH bucket join.
-- SimHash: 64-bit (numpy pandas-UDF fast path) and a 16-bit JVM-native
-  variant whose SQL twin is exact (bit arithmetic both sides).
+- SimHash: 64-bit (explode + 64 codegen'd bit-sum aggregates, exact SQL twin)
+  and a 16-bit JVM-native variant whose SQL twin is exact.
 - n-gram Jaccard: character shingles via sequence+transform, set Jaccard.
 
 Scale: every family reduces to groupBy/join on uniformly-hashed keys — no
-driver-side loops, no UDF in the hot path except simhash64's vectorized
-kernel. LSH band join is the classic explode-by-band + hash-partitioned
+driver-side loops and ZERO Python crossings in any dedup path (asserted in
+tests/test_plan_quality.py). LSH band join is the classic explode-by-band +
+hash-partitioned
 self-join: identical shuffle shape to token blocking (operators/blocking.py),
 so the same hot-key cap applies to degenerate bands.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 from codingchallenge_spark.functions.similarity import token_jaccard
 
@@ -101,10 +97,11 @@ def minhash_lsh_pairs(
     Returns [id1, id2] canonical + deduped.
 
     Docs whose token array is empty produce no exploded rows and therefore no
-    signature/bucket — correct: an empty document shares no MinHash evidence
-    with anything (the interpreted array form would emit a null-filled
-    signature that collides all empties into one degenerate bucket, which the
-    cap would then drop anyway).
+    signature/bucket — correct: an empty document carries no MinHash evidence,
+    and the DuckDB oracle (unnest + GROUP BY) drops those docs identically.
+    (The interpreted array form would instead emit a null-filled signature
+    colliding all empties into one bucket — different semantics, independent
+    of whether the band cap would also happen to drop it.)
     """
     rows_per_band = k // bands
     sig = minhash_signature_exploded(docs, id_col, tokens_col, k)
@@ -158,30 +155,50 @@ def simhash16(tokens: Column) -> Column:
     return out
 
 
-@F.pandas_udf(LongType())
-def simhash64_udf(tokens: pd.Series) -> pd.Series:
-    """64-bit SimHash, vectorized numpy kernel (fast path for near-dup
-    bucketing at scale). Hash basis: blake2b-64 per token (stable across
-    runs/processes, unlike Python's hash())."""
-    import hashlib
+def simhash64_exploded(
+    docs: DataFrame, id_col: str, tokens_col: str
+) -> DataFrame:
+    """64-bit SimHash, fully JVM-side (zero Python crossings, exact SQL twin).
 
-    out = np.zeros(len(tokens), dtype=np.int64)
-    for i, toks in enumerate(tokens):
-        if toks is None or len(toks) == 0:
-            continue
-        hs = np.frombuffer(
-            b"".join(
-                hashlib.blake2b(t.encode(), digest_size=8).digest() for t in toks
-            ),
-            dtype=np.uint64,
+    Same shape as :func:`minhash_signature_exploded`: explode tokens, then one
+    groupBy with 64 codegen'd ±1 bit-sum aggregates (map-side partial agg, one
+    shuffle — scales like any hash aggregate). Bit entropy: bits 0-31 come
+    from portable_hash64(token, salt=101), bits 32-63 from salt=202 (the
+    portable md5 hash is 60 bits wide, so one hash cannot feed all 64 bits).
+    Bit b is set iff the ±1 sum over the document's distinct tokens is > 0.
+    Docs with no tokens get simhash64 = 0 (restored via left join).
+
+    Replaces a per-row/per-token Python pandas UDF (round-1 `simhash64_udf`)
+    — values differ from that retired kernel (hash basis changed to the
+    portable md5 hash so DuckDB can verify it).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("_id"), F.explode(F.col(tokens_col)).alias("_t")
+    )
+    hl = portable_hash64(F.col("_t"), salt=101)
+    hh = portable_hash64(F.col("_t"), salt=202)
+    aggs = []
+    for b in range(64):
+        bit = F.shiftright(hl if b < 32 else hh, b % 32).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bit * 2 - 1).alias(f"_s{b}"))
+    sums = tok.groupBy("_id").agg(*aggs)
+    val = F.lit(0).cast("long")
+    for b in range(64):
+        # Bit 63 is the long sign bit: its term is MIN_LONG, and adding it to
+        # the (non-negative) sum of lower bits is exact two's complement.
+        term = F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+        val = val + F.when(F.col(f"_s{b}") > 0, term).otherwise(
+            F.lit(0).cast("long")
         )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-        sums = (2 * bits - 1).sum(axis=0)
-        val = np.uint64(0)
-        for b in np.nonzero(sums > 0)[0]:
-            val |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(val)
-    return pd.Series(out)
+    sig = sums.select("_id", val.alias("simhash64"))
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(sig, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("simhash64", F.lit(0).cast("long")).alias("simhash64"),
+        )
+    )
 
 
 def char_shingles(text: Column, n: int = 3) -> Column:

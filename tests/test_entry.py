@@ -28,9 +28,10 @@ def test_queries_and_oracles_aligned():
     o = mod.oracle_sql()
     assert len(q) >= 40
     assert set(o) <= set(q)
-    # every oracle key resolves; rows-only entries are the documented few
+    # every oracle key resolves; rows-only entries are the documented two
+    # (HLL sketch differs from DuckDB's; LSH planes are numpy-RNG-seeded)
     rows_only = set(q) - set(o)
-    assert rows_only == {
-        "q_approx_count_distinct", "q_ann_lsh", "q_ann_ivf", "q_er_entities",
-        "q_simhash64", "q_media_features",
-    }
+    assert rows_only == {"q_approx_count_distinct", "q_ann_lsh"}
+    # the driver recorded exactly 50 queries in round 1 and dropped the rest:
+    # stay below that window
+    assert len(q) <= 50
