@@ -245,9 +245,13 @@ def hashed_jaccard_batch(a: pd.Series, b: pd.Series) -> np.ndarray:
     Python, no global lexsort over keyed pairs), and |A∩B| is the count of
     adjacent equal values per row: both sides are distinct-within-side, so a
     value appears at most twice per row. Pads are position-distinct sentinels
-    (int64 max − column) so they never form an adjacent-equal pair. Rows are
-    processed in 4096-row slices to keep the matrices cache-resident — the
-    same DRAM-traffic discipline as the jw/lev kernels.
+    (int64 max − column) so they never form an adjacent-equal pair with each
+    other; a DATA value inside the top-L hash range could still equal a pad
+    (~L/2⁶⁴ per element), so rows containing any value in that range are
+    detected up front and recomputed exactly with sets — the sentinel trick
+    is then an optimization, never an approximation. Rows are processed in
+    4096-row slices to keep the matrices cache-resident — the same
+    DRAM-traffic discipline as the jw/lev kernels.
     """
     n = len(a)
     if n == 0:
@@ -285,6 +289,16 @@ def hashed_jaccard_batch(a: pd.Series, b: pd.Series) -> np.ndarray:
         M[rows_b, cols_b] = flat_b
         M.sort(axis=1)
         inter[lo:hi] = (M[:, 1:] == M[:, :-1]).sum(axis=1)
+        # Pad-collision guard: any data value inside the sentinel range
+        # [MAX−L+1, MAX] could equal a pad and inflate the adjacent-equal
+        # count. Recompute those (vanishingly rare) rows exactly.
+        pad_floor = np.int64(np.iinfo(np.int64).max) - L + 1
+        risky = np.union1d(
+            rows_a[flat_a >= pad_floor] if flat_a.size else _EMPTY_I64,
+            rows_b[flat_b >= pad_floor] if flat_b.size else _EMPTY_I64,
+        )
+        for r in risky:
+            inter[lo + r] = len(set(av[lo + r]) & set(bv[lo + r]))
     union = tot - inter
     out = np.ones(n, dtype=np.float64)  # both-empty → 1.0
     np.divide(inter, union, out=out, where=union > 0)

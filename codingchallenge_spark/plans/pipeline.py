@@ -67,9 +67,23 @@ class PipelineRun:
     run_dir: str
 
 
+# Bump whenever any stage's OUTPUT SCHEMA or on-disk semantics change: the
+# token is folded into every stage fingerprint, so --resume against a run_dir
+# written by older code rebuilds instead of loading a stale-schema checkpoint
+# (e.g. v2 added the `th` column to the normalize stage — resuming a v1
+# run_dir would otherwise fail on norm.select(..., 'th')).
+PIPELINE_SCHEMA_VERSION = 2
+
+
 def _fingerprint(cfg: MatcherConfig, input_id: str, upstream: str, stage: str) -> str:
     payload = json.dumps(
-        {"cfg": asdict(cfg), "input": input_id, "up": upstream, "stage": stage},
+        {
+            "cfg": asdict(cfg),
+            "input": input_id,
+            "up": upstream,
+            "stage": stage,
+            "schema_version": PIPELINE_SCHEMA_VERSION,
+        },
         sort_keys=True,
     )
     return hashlib.sha256(payload.encode()).hexdigest()

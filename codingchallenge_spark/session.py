@@ -55,7 +55,25 @@ def build_session(
         # admin-provisioned NVMe — never set from library code (master=None).
         local_dir = os.environ.get("CCSPARK_LOCAL_DIR")
         if local_dir is None and Path("/dev/shm").is_dir():
-            local_dir = "/dev/shm/ccspark-local"
+            # tmpfs shuffle eats RAM: opt in only with real headroom (a
+            # footprint past capacity fails with ENOSPC where disk would
+            # absorb it), and reap leftovers from crashed runs first — but
+            # only clearly-stale ones (>1 day old), never a live session's
+            # blockmgr dirs.
+            import shutil
+            import time
+
+            shm_dir = Path("/dev/shm/ccspark-local")
+            if shm_dir.is_dir():
+                cutoff = time.time() - 86400
+                for p in shm_dir.iterdir():
+                    try:
+                        if p.stat().st_mtime < cutoff:
+                            shutil.rmtree(p, ignore_errors=True)
+                    except OSError:
+                        pass
+            if shutil.disk_usage("/dev/shm").free >= 8 << 30:
+                local_dir = str(shm_dir)
         if local_dir:
             Path(local_dir).mkdir(parents=True, exist_ok=True)
             conf["spark.local.dir"] = local_dir

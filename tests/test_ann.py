@@ -89,3 +89,35 @@ def test_ivf_determinism(spark, emb):
     a = sorted(map(tuple, ivf_topk(emb, k=3, n_centroids=8, n_probe=2).collect()))
     b = sorted(map(tuple, ivf_topk(emb, k=3, n_centroids=8, n_probe=2).collect()))
     assert a == b
+
+
+def test_ivf_jvm_assign_recall(spark, emb, exact_neighbors):
+    """The oracle-surface variant (JVM sequential-fold assignment — the one
+    the driver hash-checks via q_ann_ivf) must hold the same recall bar as
+    the Arrow production path."""
+    rows = ivf_topk(emb, k=K, n_centroids=16, n_probe=4, assign="jvm").collect()
+    assert _recall(rows, exact_neighbors) >= 0.4
+
+
+def test_lloyd_refinement_improves_recall(spark, emb, exact_neighbors):
+    """Trained centroids beat hash-sampled seeds at the same probe budget.
+    (Measured on this corpus: probe=2 goes 0.34→0.42, probe=4 0.50→0.61 —
+    near-uniform random embeddings cap how much k-means can help, so the
+    bar is a strict improvement with margin, not halved-probe parity.)"""
+    base = _recall(
+        ivf_topk(emb, k=K, n_centroids=16, n_probe=2).collect(), exact_neighbors
+    )
+    trained = _recall(
+        ivf_topk(emb, k=K, n_centroids=16, n_probe=2, lloyd_iters=2).collect(),
+        exact_neighbors,
+    )
+    assert trained >= base + 0.03, (base, trained)
+
+
+def test_lloyd_refine_deterministic(spark, emb):
+    from codingchallenge_spark.operators.ann import _ivf_centroids, lloyd_refine
+
+    seeds = _ivf_centroids(emb, "vec_id", "embedding", 8)
+    a = lloyd_refine(emb, "embedding", seeds, iters=2)
+    b = lloyd_refine(emb, "embedding", seeds, iters=2)
+    assert (a == b).all()

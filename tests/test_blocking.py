@@ -45,9 +45,22 @@ def test_token_blocking_hot_key_cap(spark):
     assert token_blocking(recs, df_cap=50).count() == 30 * 29 // 2
 
 
-def test_sorted_neighborhood_matches_bruteforce(spark):
-    # Whatever the bucketing, SN must contain every pair within `window`
-    # in the global (name_norm, rid) order.
+def _global_sn(recs, window):
+    order = [
+        r.rid
+        for r in recs.select("name_norm", "rid").orderBy("name_norm", "rid").collect()
+    ]
+    want = set()
+    for i in range(len(order)):
+        for j in range(i + 1, min(i + window, len(order))):
+            want.add((min(order[i], order[j]), max(order[i], order[j])))
+    return want
+
+
+def test_sorted_neighborhood_equals_bruteforce(spark):
+    # The bucketed+seam implementation must EQUAL global single-sort SN —
+    # not merely contain it. The flagship's DuckDB oracle (plain lead() over
+    # one ORDER BY) relies on this exactness.
     rows = [
         ("r", f"src/name_{i:02d}.py", f"c{i}", "py", f"tok_{i}")
         for i in range(40)
@@ -58,16 +71,25 @@ def test_sorted_neighborhood_matches_bruteforce(spark):
         (p.rid1, p.rid2)
         for p in sorted_neighborhood(recs, window=window, num_buckets=8).collect()
     }
-    order = [
-        r.rid
-        for r in recs.select("name_norm", "rid").orderBy("name_norm", "rid").collect()
+    assert got == _global_sn(recs, window)
+
+
+def test_sorted_neighborhood_exact_across_bucketings(spark):
+    # Gapped partitions (n > 2·window), tiny partitions (num_buckets > rows),
+    # and window larger than some partitions — all must stay exactly global.
+    rows = [
+        ("r", f"src/name_{i:03d}.py", f"c{i}", "py", f"tok_{i}")
+        for i in range(57)
     ]
-    want = set()
-    for i in range(len(order)):
-        for j in range(i + 1, min(i + window, len(order))):
-            want.add((min(order[i], order[j]), max(order[i], order[j])))
-    assert want <= got          # full recall of true neighborhood pairs
-    assert len(got) <= 3 * len(want)  # bounded seam over-generation
+    recs = _mk_records(spark, rows)
+    for window, buckets in [(4, 2), (4, 100), (7, 3), (2, 8), (9, 5)]:
+        got = {
+            (p.rid1, p.rid2)
+            for p in sorted_neighborhood(
+                recs, window=window, num_buckets=buckets
+            ).collect()
+        }
+        assert got == _global_sn(recs, window), (window, buckets)
 
 
 def test_union_candidates_dedup(spark):

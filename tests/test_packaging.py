@@ -1,0 +1,72 @@
+"""Packaging + source-format guards.
+
+- dist/engine.zip (the spark-submit --py-files artifact, BASELINE.json:6)
+  must stay byte-identical to the source tree — a stale zip silently ships
+  old code to executors and is invisible until a worker deserializes a UDF.
+- The Iceberg reader branch (sources/records.py S1) is environment-blocked
+  here (no Iceberg jar, SURVEY.md §0) but must fail loudly and for the right
+  reason, and the format dispatch itself must be covered.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zipfile
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+PKG = REPO / "codingchallenge_spark"
+ZIP = REPO / "dist" / "engine.zip"
+
+
+def _sha(b: bytes) -> str:
+    return hashlib.sha256(b).hexdigest()
+
+
+def test_engine_zip_matches_source_tree():
+    assert ZIP.exists(), "dist/engine.zip missing — run scripts/package.sh"
+    with zipfile.ZipFile(ZIP) as z:
+        zipped = {n: _sha(z.read(n)) for n in z.namelist() if n.endswith(".py")}
+    src = {
+        str(Path("codingchallenge_spark") / p.relative_to(PKG)): _sha(
+            p.read_bytes()
+        )
+        for p in sorted(PKG.rglob("*.py"))
+    }
+    missing = sorted(set(src) - set(zipped))
+    extra = sorted(set(zipped) - set(src))
+    stale = sorted(n for n in set(src) & set(zipped) if src[n] != zipped[n])
+    assert not missing and not extra and not stale, (
+        f"dist/engine.zip out of date (run scripts/package.sh): "
+        f"missing={missing} extra={extra} stale={stale}"
+    )
+
+
+def test_read_records_iceberg_branch_dispatches(spark):
+    """No Iceberg runtime here: the branch must reach Spark's DSv2 source
+    lookup and fail with the data-source-not-found error — not silently fall
+    back to another format, and not break before dispatch."""
+    from codingchallenge_spark.sources.records import read_records
+
+    with pytest.raises(Exception) as ei:
+        read_records(spark, "lake.code.repo_files", fmt="iceberg")
+    msg = str(ei.value).lower()
+    assert "iceberg" in msg, msg
+
+
+def test_read_records_rejects_unknown_format(spark):
+    from codingchallenge_spark.sources.records import read_records
+
+    with pytest.raises(ValueError, match="unknown records format"):
+        read_records(spark, "x", fmt="orc3000")
+
+
+def test_read_records_enforces_schema(spark, tmp_path):
+    from codingchallenge_spark.sources.records import read_records
+
+    p = str(tmp_path / "bad.parquet")
+    spark.createDataFrame([(1, "a")], ["repo", "path"]).write.parquet(p)
+    with pytest.raises(ValueError, match="missing required columns"):
+        read_records(spark, p, fmt="parquet")

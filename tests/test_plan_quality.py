@@ -135,6 +135,52 @@ def test_fused_equals_pruned(spark, tiny_records):
     pairs.unpersist()
 
 
+def test_simhash64_plan_has_no_python(spark):
+    """simhash64 is explode + 64 codegen'd bit-sum aggregates — the retired
+    per-row pandas UDF must never creep back in."""
+    df = queries()["q_simhash64"](spark, SF)
+    plan = _plan(df)
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan, f"{node} in simhash64 plan"
+
+
+def _window_partition_specs(df) -> list[str]:
+    """Partition-spec strings of every Window node in the optimized plan.
+
+    Window prints as `Window [fns], [partitionSpec], [orderSpec]` — an empty
+    second bracket group is the single-partition trap (and is what Catalyst
+    folds a constant partition key into).
+    """
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    specs = []
+    for line in plan.splitlines():
+        stripped = line.lstrip(" +-:")
+        if stripped.startswith("Window "):
+            parts = re.findall(r"\[[^\[\]]*\]", stripped)
+            if len(parts) >= 2:
+                specs.append(parts[-2])
+    return specs
+
+
+def test_sn_has_no_single_partition_window(spark, tiny_records):
+    """Both SN passes window over real (unfoldable) partition keys — no
+    'No Partition Defined for Window' degradation anywhere in the plan."""
+    from codingchallenge_spark.operators.blocking import sorted_neighborhood
+
+    norm = normalize_records(tiny_records).select("rid", "name_norm")
+    sn = sorted_neighborhood(norm, window=4, num_buckets=8)
+    for spec in _window_partition_specs(sn):
+        assert spec != "[]", "single-partition Window in SN plan"
+
+
+def test_flagship_has_no_single_partition_window(spark, tiny_records):
+    from codingchallenge_spark.plans.matcher import resolve_entities
+
+    out = resolve_entities(tiny_records, MatcherConfig())
+    for spec in _window_partition_specs(out):
+        assert spec != "[]", "single-partition Window in flagship plan"
+
+
 def test_no_cartesian_anywhere_in_matcher(spark, tiny_records):
     cfg = MatcherConfig()
     from codingchallenge_spark.plans.matcher import resolve_entities

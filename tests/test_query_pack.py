@@ -89,3 +89,17 @@ def test_rows_only_queries_run(spark, name, fn):
     df = fn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """A5 — the HLL sketch has no DuckDB twin (different sketch), so bound it
+    locally: within 5% relative error of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.01"
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact <= 0.05, (row.approx, row.exact)
