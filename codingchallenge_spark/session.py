@@ -81,16 +81,23 @@ def build_session(
     # and each fresh worker pays the numpy/pandas/pyarrow imports (~350 ms)
     # serially — an Arrow stage's cold start at 32 tasks measured 11.3s vs
     # 0.65s warm. A daemon module that imports the data plane BEFORE forking
-    # hands every worker those modules copy-on-write. The daemon process
-    # does not see addPyFile'd zips, so its PYTHONPATH must carry the package
-    # location explicitly — works for both a source checkout (parent dir) and
-    # spark-submit --py-files (the zip path itself is a PYTHONPATH entry).
-    pkg_parent = str(Path(__file__).resolve().parent.parent)
-    env_pp = os.environ.get("PYTHONPATH", "")
-    conf["spark.python.daemon.module"] = "codingchallenge_spark.daemon"
-    conf["spark.executorEnv.PYTHONPATH"] = (
-        pkg_parent + (os.pathsep + env_pp if env_pp else "")
-    )
+    # hands every worker those modules copy-on-write. The daemon process does
+    # not see addPyFile'd zips, so its PYTHONPATH must carry the package
+    # location explicitly. Enabled where the driver-local package path is
+    # known-valid for the workers (local mode, i.e. same machine); on a real
+    # cluster set CCSPARK_DAEMON_PRELOAD=1 only if the deployment puts the
+    # package (source dir or engine.zip — a zip path is a valid PYTHONPATH
+    # entry) on every executor's PYTHONPATH, because a daemon that fails to
+    # import hard-fails every Python stage.
+    if (master and master.startswith("local")) or os.environ.get(
+        "CCSPARK_DAEMON_PRELOAD"
+    ):
+        pkg_parent = str(Path(__file__).resolve().parent.parent)
+        env_pp = os.environ.get("PYTHONPATH", "")
+        conf["spark.python.daemon.module"] = "codingchallenge_spark.daemon"
+        conf["spark.executorEnv.PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + env_pp if env_pp else "")
+        )
     conf |= {
         # Adaptive execution: runtime shuffle-partition coalescing + skew-join
         # splitting (BASELINE.json:6 "AQE-tuned shuffle partitions").

@@ -65,6 +65,27 @@ def test_config_change_invalidates_downstream(spark, tiny_records, run_dir):
     assert run.executed == STAGES
 
 
+def test_schema_version_bump_invalidates_checkpoints(
+    spark, tiny_records, run_dir, monkeypatch
+):
+    """A run_dir written by older code (different PIPELINE_SCHEMA_VERSION)
+    must rebuild every stage on --resume instead of loading checkpoints whose
+    on-disk schema the new code no longer matches."""
+    from codingchallenge_spark.plans import pipeline as pl
+
+    cfg = MatcherConfig()
+    # ensure run_dir is fully populated at the current version
+    run_pipeline(spark, tiny_records, run_dir, cfg, input_id="tiny", resume=True)
+    monkeypatch.setattr(pl, "PIPELINE_SCHEMA_VERSION", -1)
+    run = run_pipeline(
+        spark, tiny_records, run_dir, cfg, input_id="tiny", resume=True
+    )
+    assert run.executed == STAGES and run.skipped == []
+    # restore the run_dir to the real version for downstream tests
+    monkeypatch.undo()
+    run_pipeline(spark, tiny_records, run_dir, cfg, input_id="tiny", resume=True)
+
+
 def test_marker_lineage(spark, run_dir):
     meta = read_marker(run_dir, "normalize")
     assert meta["rows"] == 200
