@@ -8,10 +8,12 @@ O(log n) rounds to a star graph per component whose center is the component's
 minimum node id.
 
 Pure DataFrame implementation (no GraphFrames — not installed, SURVEY.md §0):
-each round is two groupBy(min) + join + union passes. Per-round
-``localCheckpoint`` truncates the exploding lineage (G4); convergence is a
-cheap fingerprint action (count + sum of crc32) rather than a full exceptAll
-diff (G3). Optional durable ``iter_dir`` writes the edge set every round so an
+each round is two groupBy(min) + join + union passes. Per-round lazy
+``localCheckpoint`` truncates the exploding lineage (G4) and is materialized
+by the convergence action itself; convergence is an exact structural star-set
+test — detected the round it happens, one job per round — rather than a full
+exceptAll diff or a fingerprint compared across rounds (G3). Optional durable
+``iter_dir`` writes the edge set every round so an
 interrupted clustering stage resumes mid-iteration (BASELINE.json:14, EP3).
 
 Scale notes: every round shuffles on node id — hashed 64-hex strings, i.e.
@@ -70,15 +72,31 @@ def small_star(edges: DataFrame) -> DataFrame:
     return _canon_edges(out)
 
 
-def _fingerprint(edges: DataFrame) -> tuple[int, int]:
-    """Cheap order-insensitive edge-set fingerprint: one action per round."""
-    row = edges.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum(F.crc32(F.concat_ws("|", "src", "dst"))), F.lit(0)).alias(
-            "h"
-        ),
-    ).collect()[0]
-    return int(row.n), int(row.h)
+def _is_star_set(edges: DataFrame) -> bool:
+    """Exact fixpoint test (G3), one action. A canonical edge set (src<dst,
+    deduped) is stable under large-star/small-star iff it is a disjoint union
+    of stars centered at each component's minimum — structurally: no node
+    occurs both as a src (center) and a dst (member), and no dst occurs twice
+    (a member of two stars). Testing the property of the CURRENT set detects
+    convergence the round it happens, where fingerprint-equality between
+    consecutive rounds only notices one full (wasted) round later — and a
+    structural test cannot false-positive the way a hash collision can.
+    Proof sketch: disjoint min-stars are fixed by both steps by direct
+    computation; conversely a repeated dst (m1,x),(m2,x) is rewritten by
+    small-star to (m1,m2),(m1,x), and a src∩dst node b in (a,b),(b,c) is
+    rewritten by large-star — so any non-star-set changes within one round.
+    """
+    roles = edges.select(
+        F.col("src").alias("node"), F.lit(1).alias("s"), F.lit(0).alias("d")
+    ).unionByName(
+        edges.select(F.col("dst").alias("node"), F.lit(0).alias("s"), F.lit(1).alias("d"))
+    )
+    viol = (
+        roles.groupBy("node")
+        .agg(F.max("s").alias("s"), F.sum("d").alias("d"))
+        .filter(((F.col("s") == 1) & (F.col("d") >= 1)) | (F.col("d") >= 2))
+    )
+    return viol.count() == 0
 
 
 @dataclass
@@ -101,10 +119,12 @@ def connected_components(
     as parquet for mid-stage resume.
     """
     spark = edges.sparkSession
-    cur = _canon_edges(edges.select("src", "dst")).localCheckpoint(eager=True)
-    prev_fp = _fingerprint(cur)
+    # Lazy local checkpoint: the lineage still truncates (G4), but the data is
+    # materialized by the star-test action itself — one job per round instead
+    # of an eager-checkpoint job plus a fingerprint job.
+    cur = _canon_edges(edges.select("src", "dst")).localCheckpoint(eager=False)
     iterations = 0
-    converged = prev_fp[0] == 0
+    converged = _is_star_set(cur)
     while not converged and iterations < max_iterations:
         iterations += 1
         nxt = small_star(large_star(cur))
@@ -113,10 +133,8 @@ def connected_components(
             nxt.write.mode("overwrite").parquet(path)
             nxt = spark.read.parquet(path)
         else:
-            nxt = nxt.localCheckpoint(eager=True)
-        fp = _fingerprint(nxt)
-        converged = fp == prev_fp
-        prev_fp = fp
+            nxt = nxt.localCheckpoint(eager=False)
+        converged = _is_star_set(nxt)
         cur = nxt
 
     # At the fixpoint every component is a star centered at its min node:
