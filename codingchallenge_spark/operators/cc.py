@@ -8,7 +8,8 @@ O(log n) rounds to a star graph per component whose center is the component's
 minimum node id.
 
 Pure DataFrame implementation (no GraphFrames — not installed, SURVEY.md §0):
-each round is two groupBy(min) + join + union passes. Per-round lazy
+each round is two single-exchange window-min passes plus one dedup shuffle
+(4 exchanges/round vs ~7 for the textbook groupBy+join form). Per-round lazy
 ``localCheckpoint`` truncates the exploding lineage (G4) and is materialized
 by the convergence action itself; convergence is an exact structural star-set
 test — detected the round it happens, one job per round — rather than a full
@@ -26,7 +27,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -41,35 +42,53 @@ def _canon_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def large_star(edges: DataFrame) -> DataFrame:
-    """G1 — ∀u: connect every strictly-larger neighbor of u to
-    m(u) = min(Γ(u) ∪ {u})."""
+def _large_star_raw(edges: DataFrame) -> DataFrame:
+    """Large-star body without canonicalization (duplicates possible, rows
+    oriented (larger, min)). The per-u minimum is a whole-partition window
+    min — ONE exchange of the symmetric edge list, where the groupBy+join
+    form shuffles it twice (once into the aggregate, once into the join).
+    The hot-key profile is identical: a high-degree node lands its rows on
+    one reducer under either plan."""
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
-    mins = mins.select("src", F.least("src", "mn").alias("m"))
-    out = (
-        sym.join(mins, "src")
+    w = Window.partitionBy("src")
+    return (
+        sym.withColumn("m", F.least(F.col("src"), F.min("dst").over(w)))
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     )
-    return _canon_edges(out)
+
+
+def large_star(edges: DataFrame) -> DataFrame:
+    """G1 — ∀u: connect every strictly-larger neighbor of u to
+    m(u) = min(Γ(u) ∪ {u})."""
+    return _canon_edges(_large_star_raw(edges))
+
+
+def _small_star_raw(edges: DataFrame) -> DataFrame:
+    """Small-star body without canonicalization. One ordered window per
+    directed edge list yields both the per-src minimum (first dst in order)
+    and a row_number that emits the (src → m) center edge exactly once —
+    ONE exchange where the groupBy+join+union form takes two. Min-aggregation
+    is duplicate-insensitive, so un-deduped large-star output feeds this
+    directly; a single dedup per round happens in the caller's canon."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    ranked = directed.withColumn("rn", F.row_number().over(w)).withColumn(
+        "m", F.first("dst").over(w)
+    )
+    members = ranked.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    centers = ranked.filter(F.col("rn") == 1).select("src", F.col("m").alias("dst"))
+    return members.unionByName(centers)
 
 
 def small_star(edges: DataFrame) -> DataFrame:
     """G2 — direct each edge large→small; ∀u: connect u and all its smaller
     neighbors to m(u) = min of those neighbors."""
-    directed = edges.select(
-        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-    )
-    mins = directed.groupBy("src").agg(F.min("dst").alias("m"))
-    out = (
-        directed.join(mins, "src")
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .unionByName(mins.select("src", F.col("m").alias("dst")))
-    )
-    return _canon_edges(out)
+    return _canon_edges(_small_star_raw(edges))
 
 
 def _is_star_set(edges: DataFrame) -> bool:
@@ -127,7 +146,10 @@ def connected_components(
     converged = _is_star_set(cur)
     while not converged and iterations < max_iterations:
         iterations += 1
-        nxt = small_star(large_star(cur))
+        # Raw composition: one canon (dedup shuffle) per round, not two —
+        # small-star's min is duplicate-insensitive, so large-star's
+        # intermediate dedup would buy nothing.
+        nxt = _canon_edges(_small_star_raw(_large_star_raw(cur)))
         if iter_dir is not None:
             path = f"{iter_dir}/edges_iter_{iterations:03d}.parquet"
             nxt.write.mode("overwrite").parquet(path)

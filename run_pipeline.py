@@ -13,6 +13,12 @@ Local smoke (this sandbox):
 
     python run_pipeline.py --master 'local[8]' \
         --input <fixture>/repo_files.parquet --run-dir /tmp/run1
+
+When the master comes from the spark-submit CLI instead of ``--master``,
+this script defers ALL memory sizing to spark-submit (on a cluster the
+submitter owns it) — pass ``--driver-memory`` there; spark-submit's 1g
+local-mode default is far too small for this workload. With ``--master``
+the library launches the JVM itself and sizes the heap automatically.
 """
 
 from __future__ import annotations

