@@ -190,6 +190,28 @@ def test_no_cartesian_anywhere_in_matcher(spark, tiny_records):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_cc_round_plan_shape(spark):
+    """One large-star/small-star round is two single-exchange window-min
+    passes plus one dedup — no join operator anywhere (the groupBy+join form
+    this replaced shuffled the edge list twice per step), and at most 3
+    exchanges for the whole round."""
+    from codingchallenge_spark.operators.cc import (
+        _canon_edges,
+        _large_star_raw,
+        _small_star_raw,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], ["src", "dst"]
+    )
+    round_df = _canon_edges(_small_star_raw(_large_star_raw(edges)))
+    plan = _plan(round_df)
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct"):
+        assert node not in plan, f"{node} in CC round plan"
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
 def test_exchange_count_in_token_blocking(spark, tiny_records):
     """Token blocking = explode → hot-key anti-join → self-join: the self-join
     needs exactly one exchange per side on `tok` (plus the tiny hot-list
