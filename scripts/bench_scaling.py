@@ -51,7 +51,7 @@ def ensure_fixture() -> Path:
     return FIXTURE_DIR
 
 
-def child(cores: int) -> None:
+def child(cores: int, e2e_only: bool = False) -> None:
     """One parallelism level, fresh JVM: prints one JSON line.
 
     Two measurements, both over the same input:
@@ -96,6 +96,33 @@ def child(cores: int) -> None:
     records = read_records(
         spark, str(FIXTURE_DIR / "repo_files.parquet")
     ).repartition(2 * cores)
+    if e2e_only:
+        # Fast path for pooling extra end-to-end trials (the kernel metric is
+        # unaffected by pipeline-stage changes and need not be re-run): warm
+        # the Python worker pool + codegen with one full pipeline pass, then
+        # time e2e twice, min reported — same protocol as the full child.
+        n_pairs = 0
+        resolve_entities(records, cfg).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        e2e_secs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            resolve_entities(records, cfg).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            e2e_secs.append(time.perf_counter() - t0)
+        print(
+            json.dumps(
+                {
+                    "cores": cores,
+                    "e2e_secs": [round(s, 2) for s in e2e_secs],
+                    "e2e_sec": round(min(e2e_secs), 2),
+                }
+            )
+        )
+        spark.stop()
+        return
     norm = with_token_hashes(normalize_records(records)).persist()
     norm.count()
     # Kernel-bench input: the EXHAUSTIVE candidate set (every pair sharing
@@ -290,6 +317,14 @@ candidate pair — the prune helps the pipeline, not the metric.) On a real
 cluster the N→4N rule multiplies bandwidth with cores, which is exactly what
 this box cannot do; the 2→8 pair is the in-envelope evidence.
 
+The e2e number also carries the CC stage, which was restructured this round:
+exact star-set convergence testing (fixpoint detected the round it happens,
+one action per round that also materializes the lazy localCheckpoint) and
+single-exchange window-min star steps (4 exchanges/round vs ~7 for the
+groupBy+join form) — flagship CC stage at sf0.1 measured ~2× faster, which
+shrinks the parallelism-invariant per-round floor that e2e scaling divides
+against.
+
 Raw scoring runs (all trials): local[2] {r2['all_score_secs']} s;
 local[8] {r8['all_score_secs']} s; local[32] {r32['all_score_secs']} s.
 Raw e2e runs: local[2] {r2['all_e2e_secs']} s; local[8] {r8['all_e2e_secs']} s;
@@ -306,9 +341,10 @@ contract (entry + queries/oracle_sql DuckDB diff at sf0.01) verified via
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--child", type=int, default=None)
+    ap.add_argument("--e2e-only", action="store_true")
     args = ap.parse_args()
     if args.child:
-        child(args.child)
+        child(args.child, e2e_only=args.e2e_only)
     else:
         orchestrate()
 
