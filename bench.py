@@ -105,6 +105,10 @@ def main() -> None:
     spark.range(n_workers * 10, numPartitions=n_workers).mapInPandas(
         lambda it: (pd.DataFrame({"id": pdf["id"]}) for pdf in it), "id long"
     ).write.format("noop").mode("overwrite").save()
+    # First DataFrame.rdd access initializes Py4J's Python-RDD serializer
+    # machinery (~1.1s measured) — a session fixed cost the flagship's
+    # partition-floor check would otherwise pay on the clock.
+    spark.range(1).rdd.getNumPartitions()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
