@@ -72,6 +72,26 @@ def test_star_steps_preserve_components(spark):
         assert c1 == c2
 
 
+def test_star_set_fixpoint_test(spark):
+    """_is_star_set is the exact convergence predicate: true only for a
+    disjoint union of min-centered stars (canonical src<dst edges)."""
+    from codingchallenge_spark.operators.cc import _is_star_set
+
+    def check(edges):
+        if not edges:
+            return _is_star_set(
+                spark.createDataFrame([], "src string, dst string")
+            )
+        return _is_star_set(spark.createDataFrame(edges, ["src", "dst"]))
+
+    assert check([("a", "b"), ("a", "c")])            # one star
+    assert check([("a", "b"), ("c", "d")])            # two disjoint stars
+    assert check([])                                   # empty set = converged
+    assert not check([("a", "b"), ("b", "c")])        # b is src and dst: chain
+    assert not check([("a", "x"), ("b", "x")])        # x in two stars
+    assert not check([("a", "b"), ("a", "b")])        # duplicate edge rows
+
+
 def test_cc_empty_edges(spark):
     ndf = spark.createDataFrame([("a",), ("b",)], ["rid"])
     edf = spark.createDataFrame([], "src string, dst string")
