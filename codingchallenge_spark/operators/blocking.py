@@ -71,7 +71,14 @@ def token_blocking(
     cold = tok.join(F.broadcast(hot), "tok", "left_anti")
     if num_partitions:
         cold = cold.repartition(num_partitions, "tok")
-    a, b = cold.alias("a"), cold.alias("b")
+    # Force the promised hash-partitioned self-join: Catalyst's size estimate
+    # for an exploded relation can land under autoBroadcastJoinThreshold, and
+    # it then plans a broadcast of the ENTIRE (rid, token) corpus — a serial
+    # driver-side build locally and a driver-killer at 10^12-file scale. The
+    # shuffle_hash hint co-locates both sides on tok with no sort; per-token
+    # build rows are bounded by df_cap, so every per-partition hash relation
+    # is small by construction.
+    a, b = cold.alias("a"), cold.hint("shuffle_hash").alias("b")
     pairs = (
         a.join(b, "tok")
         .filter(F.col("a.rid") < F.col("b.rid"))
