@@ -123,7 +123,11 @@ def minhash_lsh_pairs(
         .filter(F.col("c") > band_df_cap).select("bucket")
     )
     cold = buckets.join(F.broadcast(hot), "bucket", "left_anti")
-    a, b = cold.alias("a"), cold.alias("b")
+    # Same guard as token_blocking's self-join: Catalyst can under-estimate
+    # the derived bucket relation and broadcast the ENTIRE corpus×bands
+    # bucket list — serial build, driver-killer at scale. shuffle_hash
+    # co-locates on bucket; per-bucket rows are bounded by band_df_cap.
+    a, b = cold.alias("a"), cold.hint("shuffle_hash").alias("b")
     return (
         a.join(b, "bucket")
         .filter(F.col("a._id") < F.col("b._id"))
@@ -228,7 +232,10 @@ def ngram_jaccard_pairs(
         *block_cols,
         char_shingles(F.col(text_col), n).alias("shingles"),
     )
-    a, b = base.alias("a"), base.alias("b")
+    # shuffle_hash: keep Catalyst from broadcasting the whole shingled corpus
+    # when its size estimate undershoots (same guard as the token-blocking
+    # and LSH self-joins); AQE splits any skewed block at runtime.
+    a, b = base.alias("a"), base.hint("shuffle_hash").alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
     cond.append(F.col("a._id") < F.col("b._id"))
     joined = a.join(b, cond)
