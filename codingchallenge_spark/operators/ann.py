@@ -268,8 +268,12 @@ def ivf_topk(
         c = c.withColumn("cell", F.element_at(assign_udf(1)(F.col("_cvec")), 1))
         q = q.withColumn("cell", F.explode(assign_udf(n_probe)(F.col("_qvec"))))
 
+    # shuffle_hash: the corpus cell relation carries one row per vector —
+    # a Catalyst under-estimate (it is derived through a UDF / window rank)
+    # would broadcast the whole corpus. Per-cell build size is corpus/k on
+    # average and AQE splits skewed cells.
     cand = (
-        q.join(c, "cell")
+        q.join(c.hint("shuffle_hash"), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", F.round(cosine_sim(F.col("_cvec"), F.col("_qvec")), 6))
     )
@@ -306,7 +310,13 @@ def lsh_topk(
         .filter(F.col("c") > bucket_cap).select("bucket")
     )
     cold = sk.join(F.broadcast(hot), "bucket", "left_anti")
-    a, b = cold.alias("a"), cold.alias("b")
+    # shuffle_hash: the bucket relation is derived through a pandas UDF +
+    # explode, so Catalyst's size estimate can land under
+    # autoBroadcastJoinThreshold and it then broadcasts the ENTIRE sketched
+    # corpus — serial driver-side build, driver-killer at scale. Per-bucket
+    # build rows are bounded by bucket_cap, the same argument as the
+    # MinHash-LSH band join (operators/dedup.py).
+    a, b = cold.alias("a"), cold.hint("shuffle_hash").alias("b")
     cand = (
         a.join(b, "bucket")
         .filter(F.col("a._id") != F.col("b._id"))

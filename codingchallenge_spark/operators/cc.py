@@ -20,7 +20,9 @@ interrupted clustering stage resumes mid-iteration (BASELINE.json:14, EP3).
 Scale notes: every round shuffles on node id — hashed 64-hex strings, i.e.
 uniformly distributed keys; skew only arises from genuinely huge components,
 which the star construction itself flattens logarithmically. AQE handles the
-rest. No driver-side iteration over data (only the tiny fingerprint action).
+rest. No driver-side iteration over data — the only per-round action is the
+O(1)-result star-set convergence count, which doubles as the job that
+materializes the round's lazy localCheckpoint.
 """
 
 from __future__ import annotations

@@ -175,9 +175,14 @@ def simhash64_exploded(
     Replaces a per-row/per-token Python pandas UDF (round-1 `simhash64_udf`)
     — values differ from that retired kernel (hash basis changed to the
     portable md5 hash so DuckDB can verify it).
+
+    Tokens are deduped here (array_distinct before the explode — no extra
+    shuffle) so the documented distinct-token semantics hold for ANY caller,
+    not only those that pre-dedupe; the SQL twin's SELECT DISTINCT matches.
     """
     tok = docs.select(
-        F.col(id_col).alias("_id"), F.explode(F.col(tokens_col)).alias("_t")
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(F.col(tokens_col))).alias("_t"),
     )
     hl = portable_hash64(F.col("_t"), salt=101)
     hh = portable_hash64(F.col("_t"), salt=202)

@@ -24,6 +24,22 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _tree_newest_mtime(root: Path) -> float:
+    """Newest mtime of ``root`` or anything beneath it — the liveness signal
+    for reaping leftover local dirs (tmpfs walk, RAM-speed; stale leftovers
+    are small by definition)."""
+    newest = root.stat().st_mtime
+    for dirpath, dirnames, filenames in os.walk(root):
+        for name in dirnames + filenames:
+            try:
+                mt = os.stat(os.path.join(dirpath, name)).st_mtime
+            except OSError:
+                continue
+            if mt > newest:
+                newest = mt
+    return newest
+
+
 def build_session(
     app_name: str = "codingchallenge-spark",
     master: str | None = None,
@@ -59,7 +75,11 @@ def build_session(
             # footprint past capacity fails with ENOSPC where disk would
             # absorb it), and reap leftovers from crashed runs first — but
             # only clearly-stale ones (>1 day old), never a live session's
-            # blockmgr dirs.
+            # blockmgr dirs. Staleness is judged by the NEWEST mtime anywhere
+            # under the dir, not the top-level dir's: a still-running session
+            # older than a day has blockmgr-*/spark-* dirs whose top-level
+            # mtimes froze at startup while its shuffle writes keep landing
+            # in nested hash subdirs.
             import shutil
             import time
 
@@ -68,7 +88,7 @@ def build_session(
                 cutoff = time.time() - 86400
                 for p in shm_dir.iterdir():
                     try:
-                        if p.stat().st_mtime < cutoff:
+                        if _tree_newest_mtime(p) < cutoff:
                             shutil.rmtree(p, ignore_errors=True)
                     except OSError:
                         pass

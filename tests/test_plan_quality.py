@@ -212,6 +212,78 @@ def test_cc_round_plan_shape(spark):
     assert plan.count("Exchange hashpartitioning") <= 3, plan
 
 
+def _simple_plan(df) -> str:
+    """`simple` explain: one line per physical node with the join type inline
+    (`BroadcastHashJoin [k], [k], Inner, BuildRight`) — what the broadcast-
+    guard gates below need to tell a corpus-side broadcast from the
+    deliberate tiny-list anti-join broadcasts."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def _assert_selfjoin_guarded(df, label: str) -> None:
+    """The derived self-join must be a ShuffledHashJoin; the only broadcast
+    hash joins allowed are the LeftAnti hot-key guards (tiny by construction).
+    Locks in the shuffle_hash hints against config/Spark-version drift —
+    Catalyst under-estimates exploded/UDF-derived relations and would
+    otherwise broadcast the ENTIRE corpus side (commits ce2a8c6/05fcdda
+    class of bug)."""
+    plan = _simple_plan(df)
+    assert "ShuffledHashJoin" in plan, f"{label}: self-join not shuffle-hash:\n{plan}"
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            assert "LeftAnti" in line, (
+                f"{label}: corpus-side BroadcastHashJoin:\n{line}\n{plan}"
+            )
+    assert "BroadcastNestedLoopJoin" not in plan, label
+    assert "CartesianProduct" not in plan, label
+
+
+def test_token_blocking_selfjoin_guarded(spark, tiny_records):
+    from codingchallenge_spark.operators.blocking import token_blocking
+
+    norm = normalize_records(tiny_records).select("rid", "name_norm", "tokens")
+    _assert_selfjoin_guarded(token_blocking(norm), "token_blocking")
+
+
+def test_minhash_lsh_selfjoin_guarded(spark):
+    from codingchallenge_spark.operators.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    _assert_selfjoin_guarded(
+        minhash_lsh_pairs(d, "doc_id", "toks", k=8, bands=4), "minhash_lsh"
+    )
+
+
+def test_ngram_selfjoin_guarded(spark):
+    from codingchallenge_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    _assert_selfjoin_guarded(
+        ngram_jaccard_pairs(docs, "doc_id", "text", ["lang", "n_chars"]),
+        "ngram_jaccard",
+    )
+
+
+def test_lsh_ann_selfjoin_guarded(spark):
+    from codingchallenge_spark.operators.ann import lsh_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    _assert_selfjoin_guarded(lsh_topk(emb, k=5), "lsh_topk")
+
+
+def test_ivf_ann_cell_join_guarded(spark):
+    from codingchallenge_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # Production assignment path (arrow): centroids live in the UDF closure,
+    # so the ONLY join in the plan is the cell join — it must shuffle.
+    _assert_selfjoin_guarded(ivf_topk(emb, k=5, assign="arrow"), "ivf_topk")
+
+
 def test_exchange_count_in_token_blocking(spark, tiny_records):
     """Token blocking = explode → hot-key anti-join → self-join: the self-join
     needs exactly one exchange per side on `tok` (plus the tiny hot-list
