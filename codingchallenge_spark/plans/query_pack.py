@@ -626,6 +626,40 @@ SQL_MINHASH_LSH = (
 )
 
 
+def q_minhash_lsh_prod(spark, sf_dir):
+    # The PRODUCTION LSH configuration: identical plan to q_minhash_lsh_pairs
+    # but with the band cap ON (default 200) — degenerate buckets are dropped
+    # by the broadcast anti-join before the bucket self-join, exactly like
+    # token blocking's hot-key guard. q_minhash_lsh_pairs keeps the cap
+    # disabled as the uncapped oracle shape; this entry hash-verifies the
+    # capped plan a 100-TB run actually executes (the cap IS SQL-expressible:
+    # bucket counts + HAVING > cap anti-join).
+    from codingchallenge_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    return minhash_lsh_pairs(d, "doc_id", "toks", k=8, bands=4)
+
+
+SQL_MINHASH_LSH_PROD = (
+    "WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok "
+    "FROM documents), "
+    "sig AS (SELECT doc_id, "
+    + ", ".join(_mh_sql(i) for i in range(8))
+    + " FROM tok GROUP BY doc_id), "
+    "buckets AS ("
+    + " UNION ALL ".join(_band_sql(b) for b in range(4))
+    + "), "
+    # band_df_cap=200 — minhash_lsh_pairs' default production cap
+    "hot AS (SELECT bucket FROM buckets GROUP BY bucket HAVING COUNT(*) > 200), "
+    "cold AS (SELECT * FROM buckets WHERE bucket NOT IN "
+    "(SELECT bucket FROM hot)) "
+    "SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM cold a "
+    "JOIN cold b ON a.bucket = b.bucket AND a.doc_id < b.doc_id"
+)
+
+
 def q_simhash16(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
@@ -1211,6 +1245,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # multimodal plumbing
     "q_media_payload_sha": (q_media_payload_sha, SQL_MEDIA_PAYLOAD_SHA),
     "q_frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+    # 50th (last) slot of the driver's recording window: the production-capped
+    # LSH plan, hash-verified against the HAVING>cap anti-join CTE twin.
+    "q_minhash_lsh_prod": (q_minhash_lsh_prod, SQL_MINHASH_LSH_PROD),
 }
 
 
