@@ -88,31 +88,65 @@ def add_lsh_sketch(
 ) -> DataFrame:
     """Append `bands` LSH band keys: sign bits of dot products with seeded
     random hyperplanes, sliced into bands. One mapInPandas-free Arrow
-    crossing (scalar pandas UDF on the vector column)."""
+    crossing (scalar pandas UDF on the vector column).
+
+    Batch-vectorized (BASELINE.json:15 "no per-row Python"): rows are grouped
+    by vector dim (one group in practice), each group is stacked into one
+    (n, d) matrix for a single matmul against the plane matrix, and the
+    band-key strings are built with vectorized char ops — no per-row matmul
+    or per-bit Python string join."""
     rows_per_band = n_planes // bands
 
     @F.pandas_udf("array<string>")
     def sketch(vecs: pd.Series) -> pd.Series:
-        mats: dict[int, np.ndarray] = {}
-        out = []
-        for v in vecs:
-            if v is None or len(v) == 0:
-                out.append(["empty"] * bands)
-                continue
-            d = len(v)
-            if d not in mats:
-                mats[d] = _plane_matrix(d, n_planes, seed)
-            bits = (np.asarray(v, dtype=np.float64) @ mats[d]) > 0
-            out.append(
-                [
-                    f"b{bi}:" + "".join(
-                        "1" if x else "0"
-                        for x in bits[bi * rows_per_band : (bi + 1) * rows_per_band]
+        n = len(vecs)
+        out = np.empty(n, dtype=object)
+        lens = np.fromiter(
+            ((len(v) if v is not None else 0) for v in vecs),
+            dtype=np.int64,
+            count=n,
+        )
+        for i in np.nonzero(lens == 0)[0]:
+            out[i] = ["empty"] * bands
+        for d in np.unique(lens[lens > 0]):
+            idx = np.nonzero(lens == d)[0]
+            mat = np.vstack([vecs.iat[i] for i in idx]).astype(
+                np.float64, copy=False
+            )
+            bits = (mat @ _plane_matrix(int(d), n_planes, seed)) > 0
+            # Pack each band's bits into an integer code, then map codes to
+            # the "b{i}:0101…" key strings through a per-band lookup table —
+            # one fancy-index per band instead of per-row string joins. The
+            # LUT has 2^rows_per_band entries (16 at the default 16/4 config);
+            # fall back to vectorized char ops for very wide bands.
+            grp = bits.reshape(len(idx), bands, rows_per_band)
+            if rows_per_band <= 16:
+                weights = 1 << np.arange(rows_per_band - 1, -1, -1)
+                codes = grp @ weights  # (n, bands)
+                cols = [
+                    np.array(
+                        [
+                            f"b{bi}:{c:0{rows_per_band}b}"
+                            for c in range(1 << rows_per_band)
+                        ]
+                    )[codes[:, bi]]
+                    for bi in range(bands)
+                ]
+            else:
+                chars = np.where(bits, "1", "0").astype("<U1")
+                cols = [
+                    np.char.add(
+                        f"b{bi}:",
+                        np.ascontiguousarray(
+                            chars[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+                        ).view(f"<U{rows_per_band}").ravel(),
                     )
                     for bi in range(bands)
                 ]
-            )
-        return pd.Series(out)
+            stacked = np.stack(cols, axis=1)
+            for j, i in enumerate(idx):
+                out[i] = stacked[j].tolist()
+        return pd.Series(out.tolist())
 
     return df.withColumn("_bands", sketch(F.col(vec_col)))
 
@@ -249,19 +283,32 @@ def ivf_topk(
         cents_n = cents / norms
 
         def assign_udf(n_cells: int):
+            # Batch-vectorized: one (n, d) stack + one matmul per Arrow
+            # batch/dim group — not a per-row dgemv (BASELINE.json:15).
             @F.pandas_udf("array<int>")
             def fn(vecs: pd.Series) -> pd.Series:
-                out = []
-                for v in vecs:
-                    if v is None or len(v) == 0:
-                        out.append([0])
-                        continue
-                    x = np.asarray(v, dtype=np.float64)
-                    nx = np.linalg.norm(x)
-                    sims = cents_n @ (x / nx) if nx > 0 else np.zeros(len(cents_n))
-                    top = np.argsort(-sims, kind="stable")[:n_cells]
-                    out.append([int(cc) for cc in top])
-                return pd.Series(out)
+                n = len(vecs)
+                out = np.empty(n, dtype=object)
+                lens = np.fromiter(
+                    ((len(v) if v is not None else 0) for v in vecs),
+                    dtype=np.int64,
+                    count=n,
+                )
+                for i in np.nonzero(lens == 0)[0]:
+                    out[i] = [0]
+                for d in np.unique(lens[lens > 0]):
+                    idx = np.nonzero(lens == d)[0]
+                    mat = np.vstack([vecs.iat[i] for i in idx]).astype(
+                        np.float64, copy=False
+                    )
+                    nx = np.linalg.norm(mat, axis=1)
+                    safe = np.where(nx > 0, nx, 1.0)[:, None]
+                    sims = (mat / safe) @ cents_n.T
+                    sims[nx == 0] = 0.0
+                    top = np.argsort(-sims, axis=1, kind="stable")[:, :n_cells]
+                    for j, i in enumerate(idx):
+                        out[i] = top[j].tolist()
+                return pd.Series(out.tolist())
 
             return fn
 
