@@ -732,6 +732,8 @@ SQL_TOKEN_COUNT = (
 
 
 def q_quality(spark, sf_dir):
+    from codingchallenge_spark.functions.text import quality_score
+
     d = _t(spark, sf_dir, "documents")
     m = quality_metrics(F.col("text"))
     return d.select(
@@ -740,18 +742,35 @@ def q_quality(spark, sf_dir):
         m["avg_token_len"].alias("avg_token_len"),
         m["alpha_ratio"].alias("alpha_ratio"),
         m["stopword_ratio"].alias("stopword_ratio"),
+        quality_score(F.col("text")).alias("quality_score"),
     )
 
 
 _EN = ", ".join(f"'{w}'" for w in LANG_LEXICONS["en"])
 
-SQL_QUALITY = (
-    "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
-    "length(text) / greatest(len(string_split(text, ' ')), 1) AS avg_token_len, "
+# Inline sub-expressions of functions.text.quality_score — literals cast to
+# DOUBLE so DuckDB's DECIMAL literal arithmetic can't diverge from Spark's
+# double path.
+_SQL_Q_NTOK = "len(string_split(text, ' '))"
+_SQL_Q_ALPHA = (
     "length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / "
-    "greatest(length(text), 1) AS alpha_ratio, "
+    "greatest(length(text), 1)"
+)
+_SQL_Q_STOP = (
     f"len(list_filter(string_split(lower(text), ' '), t -> t IN ({_EN}))) / "
-    "greatest(len(string_split(text, ' ')), 1) AS stopword_ratio "
+    f"greatest({_SQL_Q_NTOK}, 1)"
+)
+
+SQL_QUALITY = (
+    f"SELECT doc_id, {_SQL_Q_NTOK} AS n_tokens, "
+    f"length(text) / greatest({_SQL_Q_NTOK}, 1) AS avg_token_len, "
+    f"{_SQL_Q_ALPHA} AS alpha_ratio, "
+    f"{_SQL_Q_STOP} AS stopword_ratio, "
+    f"(CASE WHEN {_SQL_Q_NTOK} >= 10 AND {_SQL_Q_NTOK} <= 10000 "
+    "THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END) * 0.4::DOUBLE "
+    f"+ ({_SQL_Q_ALPHA}) * 0.4::DOUBLE "
+    f"+ least(({_SQL_Q_STOP}) * 4.0::DOUBLE, 1.0::DOUBLE) * 0.2::DOUBLE "
+    "AS quality_score "
     "FROM documents"
 )
 
@@ -1039,8 +1058,11 @@ def q_er_entities(spark, sf_dir):
     # (recursive-CTE transitive closure stands in for the iterative CC).
     # Threshold 0.75 yields a non-trivial cluster structure on this corpus
     # (sf0.01: 266 clusters, sizes up to 17) with ≥ 5e-4 margin between every
-    # pair score and the threshold; the jw/lev/jaccard kernels are bitwise
-    # equal across engines (verified), so the edge set is FP-safe.
+    # candidate pair's exact score and the threshold at sf0.01 (the driver's
+    # hash scale; 3.8e-5 at the sf0.001 smoke scale) — machine-checked by
+    # tests/test_query_pack.py::test_flagship_threshold_margin. The
+    # jw/lev/jaccard kernels are bitwise equal across engines (verified), so
+    # the edge set is FP-safe.
     from codingchallenge_spark.plans.matcher import MatcherConfig, resolve_entities
     from codingchallenge_spark.sources.records import documents_as_records
 
