@@ -4,11 +4,15 @@ Spec: BASELINE.json:6 — "pairwise scoring with vectorized pandas/Arrow UDFs
 computing batched Jaro-Winkler/Levenshtein and token-Jaccard similarities over
 candidate pairs".
 
-Plan shape at scale:
-  cand_pairs ⋈ records_norm(rid1) ⋈ records_norm(rid2)   (attribute fan-in)
-  → one ArrowEvalPython pass computing jw + lev (adjacent scalar pandas UDFs
-    batch into a single Python crossing)
-  → native (JVM) token-Jaccard + weighted blend + threshold.
+Plan shape at scale (production = score_pairs_fused):
+  cand_pairs ⋈ records_norm(rid1) ⋈ records_norm(rid2)   (attribute fan-in,
+    one join round per side shipping (name_norm, token-hashes) together)
+  → codegen'd size-ratio pre-prune
+  → narrow ArrowEvalPython crossing A: batched hashed Jaccard (ships th only)
+  → codegen'd exact score-bound filter
+  → narrow ArrowEvalPython crossing B: jw + lev on survivor names only
+  → codegen'd weighted blend + threshold.
+rids and the jaccard column never cross into Python at all.
 
 Only the *name keys and token arrays* travel into the joins — never
 ``content`` (the wide column stays at the scan; SURVEY.md §4 column pruning).
@@ -21,7 +25,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from codingchallenge_spark.functions.similarity import (
@@ -265,6 +269,71 @@ def fused_kernel(
     return joined.mapInPandas(fn, schema)
 
 
+def fused_score_from_attrs(
+    joined: DataFrame,
+    weights: dict[str, float] | None = None,
+    threshold: float = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """Production scoring body over :func:`fused_pair_attrs` output: two
+    NARROW Arrow crossings, each shipping only the columns its kernel reads.
+
+    Plan (all steps in one stage — the filters are narrow):
+      1. exact SIZE-RATIO pre-prune, codegen'd: jaccard ≤ min(n1,n2)/max(n1,n2)
+         from two ints, before anything is serialized to Arrow;
+      2. crossing A — scalar pandas UDF computes batched hashed Jaccard.
+         ArrowEvalPython ships ONLY its argument columns to Python (th1, th2)
+         and joins the resulting double back positionally: rids and names
+         never cross here;
+      3. codegen'd filter on the exact score upper bound
+         (score ≤ w_jw + w_lev + w_jac·jaccard < threshold → drop);
+      4. crossing B — adjacent jw/lev scalar UDFs (one ArrowEvalPython node)
+         over the SURVIVORS' name keys only;
+      5. codegen'd weighted blend.
+
+    Versus the single fused mapInPandas kernel (kept as
+    :func:`score_pairs_fused_arrow`): mapInPandas round-trips the WHOLE row
+    through Arrow — rids and name keys pay the serialization toll for every
+    candidate pair even though the jaccard kernel never reads them. The
+    narrow-crossing plan ships th once, names only for survivors, rids never
+    — measured 1.33×/1.40×/1.11× faster at 2/8/32 cores over the 7.2M-pair
+    exhaustive bench set (BENCH/BASELINE.md). Worker-spawn serialization
+    (SparkEnv.createPythonWorker is JVM-global) made two-crossing plans stall
+    cold in round 1; the preloading daemon (session.py) amortized that, which
+    is what makes this plan the right one now.
+    """
+    w = weights or DEFAULT_WEIGHTS
+    keep = [c for c in ("rid1", "rid2", "block_key") if c in joined.columns]
+    min_jac = 0.0
+    if w["jaccard"] > 0:
+        min_jac = (threshold - w["jw"] - w["lev"]) / w["jaccard"]
+        if min_jac > 0:
+            n1, n2 = F.size("th1"), F.size("th2")
+            # Exact: every row dropped here fails step-3's jaccard bound too
+            # (both-empty pairs pass 0 ≥ 0 and keep their jaccard=1.0 path).
+            joined = joined.filter(
+                F.least(n1, n2) >= F.lit(min_jac) * F.greatest(n1, n2)
+            )
+    scored = joined.withColumn(
+        "jaccard", hashed_jaccard_udf("th1", "th2")
+    ).drop("th1", "th2")
+    if min_jac > 0:
+        scored = scored.filter(F.col("jaccard") >= F.lit(min_jac))
+    scored = scored.withColumns(
+        {
+            # Adjacent scalar pandas UDFs in one projection → a single
+            # ArrowEvalPython node; name1/name2 ship once, two doubles return.
+            "jw": jaro_winkler_udf("name1", "name2"),
+            "lev": levenshtein_ratio_udf("name1", "name2"),
+        }
+    ).withColumn(
+        "score",
+        F.col("jw") * F.lit(w["jw"])
+        + F.col("lev") * F.lit(w["lev"])
+        + F.col("jaccard") * F.lit(w["jaccard"]),
+    )
+    return scored.select(*keep, "jw", "lev", "jaccard", "score")
+
+
 def score_pairs_fused(
     pairs: DataFrame,
     records_norm: DataFrame,
@@ -272,38 +341,29 @@ def score_pairs_fused(
     threshold: float = DEFAULT_THRESHOLD,
     salt_buckets: int = 0,
 ) -> DataFrame:
-    """Production scorer: ONE Arrow crossing, prune inside the kernel.
+    """Production scorer: single attribute join round per side
+    (:func:`fused_pair_attrs`), then the narrow-crossing scoring body
+    (:func:`fused_score_from_attrs`). Result multiset identical to
+    :func:`score_pairs_pruned` and :func:`score_pairs_fused_arrow`
+    (tested equal)."""
+    joined = fused_pair_attrs(pairs, records_norm, salt_buckets)
+    return fused_score_from_attrs(joined, weights=weights, threshold=threshold)
 
-    Same result set as :func:`score_pairs_pruned` (tested equal), but the
-    plan is built for high concurrency:
 
-    - ONE attribute join round per side ships (name_norm, th) together —
-      half the joins / broadcast builds of the two-round jaccard-then-names
-      plan, and nothing is joined twice (:func:`fused_pair_attrs`).
-    - ONE mapInPandas crossing per task (:func:`fused_kernel`). Spark
-      serializes Python-worker creation JVM-wide (SparkEnv.createPythonWorker
-      is a global lock), so a plan with two Arrow-eval nodes needs 2×tasks
-      workers and cold runs serialize behind the spawn lock at high core
-      counts (measured: 14/32 executor threads blocked on it). One crossing
-      needs one worker per task and one Arrow transfer of the batch.
-    - The exact score upper bound (score ≤ w_jw + w_lev + w_jac·jaccard)
-      prunes INSIDE the kernel: jw/lev run only on rows whose bound reaches
-      ``threshold``, and only those rows are emitted — identical survivor
-      set, no second join to fetch names for survivors.
-    - Before the crossing, an exact SIZE-RATIO pre-prune runs JVM-side:
-      jaccard = |A∩B|/|A∪B| ≤ min(n1,n2)/max(n1,n2), so any pair whose
-      token-set sizes alone keep the jaccard bound below the kernel's prune
-      line can be dropped from two codegen'd ints — before its th arrays,
-      names and rids are ever serialized to Arrow (the Arrow path costs as
-      much as the kernels themselves at high core counts; measured ~26% of
-      candidate pairs die here on the bench corpus). Same survivor set:
-      every pre-pruned row would have been dropped by the in-kernel jaccard
-      bound (both-empty pairs pass 0 ≥ 0 and keep their jaccard=1.0 path).
-    - rid1/rid2 cross Arrow as 32-byte binary, not 64-char hex (they are
-      sha256-hex by construction; unhex/hex·lower round-trips exactly).
-      The kernel never reads them, but they are ~58% of the crossing's
-      input bytes — binary transport measured 1.11×/1.15× kernel
-      throughput at 8/32 cores on the DRAM-bound Arrow path.
+def score_pairs_fused_arrow(
+    pairs: DataFrame,
+    records_norm: DataFrame,
+    weights: dict[str, float] | None = None,
+    threshold: float = DEFAULT_THRESHOLD,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """V5 — the single-crossing mapInPandas scorer (round-2 production path,
+    kept as a tested alternative): ONE mapInPandas pass computes hashed
+    Jaccard, prunes on the exact score bound in-kernel, and runs jw/lev on
+    survivors, with rid1/rid2 crossing Arrow as 32-byte binary (they are
+    sha256-hex by construction; measured 1.11×/1.15× at 8/32 cores vs hex
+    strings). Superseded by :func:`score_pairs_fused`'s narrow-crossing plan,
+    which keeps rids/jaccard JVM-side entirely.
     """
     w = weights or DEFAULT_WEIGHTS
     joined = fused_pair_attrs(pairs, records_norm, salt_buckets)
@@ -318,8 +378,19 @@ def score_pairs_fused(
     # through the Arrow crossing as 32-byte binary and restore the hex form
     # on the (small) survivor set. Both conversions are codegen'd JVM
     # expressions; F.hex uppercases, so lower() restores the exact input.
-    joined = joined.withColumn("rid1", F.unhex("rid1")).withColumn(
-        "rid2", F.unhex("rid2")
+    # Guard the invariant instead of silently nulling non-hex ids: unhex
+    # returns NULL for any malformed rid, so a non-null rid that unhexes to
+    # NULL (or isn't 64 lowercase hex chars — case must round-trip) raises.
+    def _hex_guarded(c: str) -> Column:
+        ok = F.col(c).isNull() | F.col(c).rlike("^[0-9a-f]{64}$")
+        # assert_true returns NULL when the predicate holds, raises otherwise.
+        return F.when(F.assert_true(ok, F.concat(
+            F.lit(f"score_pairs_fused_arrow: {c} is not 64-char lowercase "
+                  "sha256 hex: "), F.col(c)
+        )).isNull(), F.unhex(c))
+
+    joined = joined.withColumn("rid1", _hex_guarded("rid1")).withColumn(
+        "rid2", _hex_guarded("rid2")
     )
     out = fused_kernel(
         joined, weights=weights, threshold=threshold, rid_binary=True

@@ -57,9 +57,11 @@ def child(cores: int, e2e_only: bool = False) -> None:
     Two measurements, both over the same input:
 
     - **Kernel scoring throughput** (the BASELINE.json:2 unit,
-      "candidate-pairs-scored/sec"): the full similarity kernel set
-      (Arrow Jaro-Winkler + Levenshtein + JVM token-Jaccard + blend) over
-      EVERY candidate pair, with the pair-attribute relation materialized
+      "candidate-pairs-scored/sec"): the production scoring plan — codegen'd
+      size-ratio prune, narrow Arrow crossing for batched hashed Jaccard,
+      exact score-bound filter, narrow crossing for jw/lev on survivors,
+      blend — over EVERY candidate pair, with the pair-attribute relation
+      materialized
       (persisted, repartitioned to 4×cores) before the clock starts — so the
       timed region is the parallel scoring compute, not driver-side broadcast
       builds that a measurement at this tiny scale would otherwise be
@@ -74,8 +76,8 @@ def child(cores: int, e2e_only: bool = False) -> None:
         with_token_hashes,
     )
     from codingchallenge_spark.operators.scoring import (
-        fused_kernel,
         fused_pair_attrs,
+        fused_score_from_attrs,
     )
     from codingchallenge_spark.plans.matcher import (
         MatcherConfig,
@@ -135,16 +137,11 @@ def child(cores: int, e2e_only: bool = False) -> None:
     pairs_bench = candidate_pairs(
         norm, MatcherConfig(min_token_overlap=1)
     )
-    from pyspark.sql import functions as F
-
-    # Production transport shape: rids cross Arrow as 32-byte binary
-    # (score_pairs_fused unhexes them JVM-side before the crossing — here
-    # that codegen'd step lands in the pre-materialized relation, consistent
-    # with isolating the parallel scoring compute).
+    # Production scoring input shape: (rids, names, token-hash arrays) —
+    # rids stay hex strings because the narrow-crossing scorer never ships
+    # them into Python at all (ArrowEvalPython sends only UDF arguments).
     attrs = (
         fused_pair_attrs(pairs_bench, norm)
-        .withColumn("rid1", F.unhex("rid1"))
-        .withColumn("rid2", F.unhex("rid2"))
         .repartition(2 * cores)
         .persist()
     )
@@ -152,9 +149,8 @@ def child(cores: int, e2e_only: bool = False) -> None:
 
     def run_once() -> float:
         t0 = time.perf_counter()
-        scored = fused_kernel(
-            attrs, weights=cfg.weights, threshold=cfg.threshold,
-            rid_binary=True,
+        scored = fused_score_from_attrs(
+            attrs, weights=cfg.weights, threshold=cfg.threshold
         )
         scored.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0

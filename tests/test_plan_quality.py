@@ -89,10 +89,13 @@ def test_content_never_enters_blocking_or_scoring(spark, tiny_records):
 
 
 def test_scoring_python_crossings_bounded(spark, tiny_records):
-    """The production (fused) scoring plan has exactly ONE Python crossing —
-    a single mapInPandas node computes jaccard, prunes on the exact score
-    bound, and runs jw/lev on survivors. The two-crossing pruned variant is
-    kept for parity testing and must stay at 2."""
+    """The production (fused) scoring plan has exactly TWO narrow
+    ArrowEvalPython crossings — jaccard over (th1, th2), then jw/lev over
+    survivor names — and NO mapInPandas: ArrowEvalPython ships only the UDF
+    argument columns, so rids/jaccard never enter Python. The mapInPandas
+    variant (score_pairs_fused_arrow) must stay at exactly one crossing."""
+    from codingchallenge_spark.operators.scoring import score_pairs_fused_arrow
+
     cfg = MatcherConfig()
     norm = with_token_hashes(normalize_records(tiny_records)).select(
         "rid", "name_norm", "tokens", "th"
@@ -103,24 +106,30 @@ def test_scoring_python_crossings_bounded(spark, tiny_records):
                               threshold=cfg.threshold)
     plan = _plan(fused)
     # formatted explain prints each node in the tree AND the detail section —
-    # count detail headers "(NN) MapInPandas".
-    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
-    assert "ArrowEvalPython" not in plan, plan
+    # count detail headers "(NN) ArrowEvalPython".
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 2, plan
+    assert "MapInPandas" not in plan, plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+    arrow = score_pairs_fused_arrow(pairs, norm, weights=cfg.weights,
+                                    threshold=cfg.threshold)
+    plan2 = _plan(arrow)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan2)) == 1, plan2
+    assert "BatchEvalPython" not in plan2
 
     pruned = score_pairs_pruned(pairs, norm, weights=cfg.weights,
                                 threshold=cfg.threshold)
-    plan2 = _plan(pruned)
-    # the two-crossing design may be split further by the planner — the
-    # invariant that motivates the fused production path is ">1 crossing".
-    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan2)) >= 2, plan2
-    assert "BatchEvalPython" not in plan2
+    plan3 = _plan(pruned)
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan3)) >= 2, plan3
+    assert "BatchEvalPython" not in plan3
 
 
 def test_fused_equals_pruned(spark, tiny_records):
-    """Exactness of the in-kernel prune: the fused single-crossing scorer
-    yields the identical (rid1, rid2, jw, lev, jaccard, score) multiset as
-    the two-crossing pruned scorer."""
+    """Exactness across all three scorer plans: the production narrow-crossing
+    scorer, the mapInPandas fused kernel, and the two-crossing pruned scorer
+    yield the identical (rid1, rid2, jw, lev, jaccard, score) multiset."""
+    from codingchallenge_spark.operators.scoring import score_pairs_fused_arrow
+
     cfg = MatcherConfig()
     norm = with_token_hashes(normalize_records(tiny_records)).persist()
     pairs = candidate_pairs(norm, cfg).persist()
@@ -128,9 +137,13 @@ def test_fused_equals_pruned(spark, tiny_records):
                            threshold=cfg.threshold)
     b = score_pairs_fused(pairs, norm, weights=cfg.weights,
                           threshold=cfg.threshold)
+    c = score_pairs_fused_arrow(pairs, norm, weights=cfg.weights,
+                                threshold=cfg.threshold)
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
+    rc = sorted(map(tuple, c.collect()))
     assert ra == rb
+    assert ra == rc
     norm.unpersist()
     pairs.unpersist()
 
