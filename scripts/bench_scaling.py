@@ -267,16 +267,21 @@ input, same seed, shuffle partitions = 2×cores. Two trials per level, each
 1 warm-up + {RUNS} timed scoring runs; the minimum is reported (this shared
 VM sees intermittent neighbor interference — identical runs measured 2.1s vs
 8.6s minutes apart — so the noise floor is the engine's cost). e2e timed
-twice per trial with all paths warm, minimum reported.
+twice per trial with all paths warm, minimum reported. NOTE: this file is a
+single-session view; the committed BENCH/BASELINE.md pools raw lists across
+same-code sessions (see its protocol paragraph) — pool before replacing its
+numbers.
 
 The two-cluster-size rule (N vs 4N executors) is evidenced per the session
 rule with local parallelism levels on one 32-core box. Two N→4N pairs are
 reported: `local[8]`→`local[32]` and `local[2]`→`local[8]`.
 
 **Kernel scoring throughput** (the BASELINE.json:2 unit): the full similarity
-kernel set — one fused mapInPandas crossing computing batched hashed
-token-Jaccard, exact score-bound prune, numpy Jaro-Winkler + Levenshtein on
-survivors — over every candidate pair, with the pair-attribute relation
+kernel set — codegen'd size-ratio pre-prune, narrow scalar-UDF Arrow crossing
+for batched hashed token-Jaccard (only the two token-hash arrays cross),
+codegen'd exact score-bound filter, second narrow crossing for numpy
+Jaro-Winkler + Levenshtein over survivor names only, codegen'd blend — over
+every candidate pair, with the pair-attribute relation
 pre-materialized (persisted, 2×cores partitions) so the timed region is the
 parallel scoring compute. At 10^12-file scale this compute dominates the
 scoring stage; a small local run must isolate it to measure the same quantity
@@ -308,25 +313,28 @@ at this fixture size include a large parallelism-invariant floor (job
 scheduling, broadcast builds, Python-worker pool) that amortizes at real data
 sizes — kernel throughput is the load-bearing scaling number.
 
-Where the 8→32 gap actually lives (decomposed this round): a pass-through
-mapInPandas over the same cached input — identical Arrow traffic, zero kernel
-work — costs ≈50% of the full scoring wall time at BOTH levels and scales at
-the same ratio as the full job, so the bound is the JVM-cache→Arrow→pandas
-memory path, not the numpy kernels. During the 32-core run the box is ≈93%
-CPU-busy (≈80% usr, ≈12–16% sys): no scheduler or lock idle exists to
-reclaim — the per-core slowdown is DRAM contention, which also stalls
-"busy" cores. Config probes at local[32] (min of 5): in-memory cache
-compression ON 6.42s vs OFF 7.14s (keep ON); Arrow batch 10k remains optimal
-(round 1: 5k/50k/100k all slower). Engine-side mitigation shipped this
-round: the production fused scorer pre-prunes pairs JVM-side on the exact
-token-set size-ratio bound (jaccard ≤ min/max), dropping ~26% of candidate
-pairs from two codegen'd ints before their arrays/names/rids are ever
-serialized to Arrow. (The kernel-throughput metric below still scores EVERY
-candidate pair — the prune helps the pipeline, not the metric.) On a real
-cluster the N→4N rule multiplies bandwidth with cores, which is exactly what
-this box cannot do; the 2→8 pair is the in-envelope evidence.
+Where the 8→32 gap actually lives (decomposed round 2, scorer restructured
+round 3 in response): round 2's pass-through decomposition showed Arrow
+transport — identical traffic, zero kernel work — cost ≈50% of scoring wall
+at BOTH levels, i.e. the bound is the JVM-cache→Arrow→pandas memory path,
+not the numpy kernels; the box is ≈93% CPU-busy at 32 cores (≈80% usr), so
+the per-core slowdown is DRAM contention stalling "busy" cores. Round 3
+therefore replaced the fused mapInPandas scorer (which round-trips whole
+rows) with two narrow ArrowEvalPython scalar-UDF crossings that ship only
+the UDF arguments: the jaccard crossing carries just th1/th2 (rids, names,
+and the spliced-back result never cross), and the jw/lev crossing carries
+survivor name pairs only — measured 1.33×/1.40×/1.11× at 2/8/32 cores over
+the old fused plan on the same 7.2M pairs. The codegen'd size-ratio
+pre-prune (jaccard ≤ min/max from two ints) still drops ~26% of pairs before
+any Arrow serialization. Config probes: in-memory cache compression ON
+beats OFF (6.42s vs 7.14s); Arrow batch 10k re-probed optimal at the
+narrower row width (20k: 8.5s, 40k: 8.8s at 8 cores). A JVM-native
+array_intersect jaccard was measured and rejected — its set-build cost alone
+matched the whole old pipeline (91s/20s/7.2s at 2/8/32). On a real cluster
+the N→4N rule multiplies bandwidth with cores, which is exactly what this
+box cannot do; the 2→8 pair is the in-envelope evidence.
 
-The e2e number also carries the CC stage, which was restructured this round:
+The e2e number also carries the CC stage, restructured in round 2:
 exact star-set convergence testing (fixpoint detected the round it happens,
 one action per round that also materializes the lazy localCheckpoint) and
 single-exchange window-min star steps (4 exchanges/round vs ~7 for the
