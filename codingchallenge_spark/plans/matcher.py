@@ -14,6 +14,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from codingchallenge_spark.functions.normalize import (
     normalize_records,
@@ -85,17 +86,41 @@ def resolve_entities(
     # from its stage sinks.) ``th`` (token-hash fingerprints) is materialized
     # here because its expression is interpreted-eval (normalize.
     # with_token_hashes) — persisted once, scoring joins it for free.
-    norm = with_token_hashes(normalize_records(records)).persist()
-    pairs = candidate_pairs(norm, cfg)
+    # ``rid_b`` = unhex(rid): every blocking/scoring/CC exchange keys on
+    # record ids, and a 32-byte binary halves that key's shuffle bytes vs the
+    # 64-char hex string — the dominant cost of the biggest intermediates
+    # (the exploded token relation and the candidate-pair stream) at
+    # 10^12-file scale. Exact, not approximate: rid is lowercase sha256-hex
+    # BY CONSTRUCTION (normalize.record_id), and fixed-width binary compares
+    # bytewise in the same order as its hex form — so least/greatest
+    # canonicalization, SN sort order, CC minima and the final min-label all
+    # pick identical records; lower(hex(·)) restores the exact string at emit.
+    norm = (
+        with_token_hashes(normalize_records(records))
+        .withColumn("rid_b", F.unhex("rid"))
+        .persist()
+    )
+    work = norm.select(
+        F.col("rid_b").alias("rid"), "name_norm", "tokens", "th"
+    )
+    pairs = candidate_pairs(work, cfg)
     scored = score_pairs_fused(
         pairs,
-        norm,
+        work,
         weights=cfg.weights,
         threshold=cfg.threshold,
         salt_buckets=cfg.salt_buckets,
     )
     edges = edges_from_scores(scored, threshold=cfg.threshold)
     labels = connected_components(
-        edges, nodes=norm.select("rid"), max_iterations=cfg.cc_max_iterations
+        edges, nodes=work.select("rid"), max_iterations=cfg.cc_max_iterations
     ).labels
-    return norm.drop("name_norm", "tokens", "th").join(labels, "rid")
+    out = (
+        norm.drop("name_norm", "tokens", "th")
+        .join(labels.withColumnRenamed("rid", "rid_b"), "rid_b")
+        .drop("rid_b")
+        .withColumn("entity_id", F.lower(F.hex("entity_id")))
+    )
+    # rid first — the column order the string-keyed join (USING rid) used to
+    # produce, kept stable for downstream consumers.
+    return out.select("rid", *[c for c in out.columns if c != "rid"])

@@ -71,8 +71,9 @@ class PipelineRun:
 # token is folded into every stage fingerprint, so --resume against a run_dir
 # written by older code rebuilds instead of loading a stale-schema checkpoint
 # (e.g. v2 added the `th` column to the normalize stage — resuming a v1
-# run_dir would otherwise fail on norm.select(..., 'th')).
-PIPELINE_SCHEMA_VERSION = 2
+# run_dir would otherwise fail on norm.select(..., 'th'); v3 switched the
+# blocking/scoring/cc stages to 32-byte binary rids).
+PIPELINE_SCHEMA_VERSION = 3
 
 
 def _fingerprint(cfg: MatcherConfig, input_id: str, upstream: str, stage: str) -> str:
@@ -140,10 +141,17 @@ def run_pipeline(
             recs = recs.repartition(parallelism)
         # th (token-hash fingerprints) is interpreted-eval — materialize it
         # in the stage parquet so scoring never recomputes it per execution.
-        return with_token_hashes(normalize_records(recs))
+        # rid_b = unhex(rid): the blocking/scoring/cc stages shuffle on
+        # record ids constantly, and the 32-byte binary form halves that
+        # key's bytes vs the 64-char hex string (exact — see plans.matcher).
+        return with_token_hashes(normalize_records(recs)).withColumn(
+            "rid_b", F.unhex("rid")
+        )
 
     norm = stage("normalize", [], build_normalize)
-    norm_narrow = norm.select("rid", "name_norm", "tokens", "th")
+    norm_narrow = norm.select(
+        F.col("rid_b").alias("rid"), "name_norm", "tokens", "th"
+    )
 
     tok_pairs = stage(
         "block_token",
@@ -196,18 +204,24 @@ def run_pipeline(
         seed_edges = spark.read.parquet(latest) if latest else edges
         res = connected_components(
             seed_edges,
-            nodes=norm.select("rid"),
+            nodes=norm_narrow.select("rid"),
             max_iterations=cfg.cc_max_iterations,
             iter_dir=iter_dir,
         )
         return res.labels
 
     labels = stage("cc", ["edges", "normalize"], build_cc)
-    entities = stage(
-        "entities",
-        ["cc", "normalize"],
-        lambda: norm.drop("name_norm", "tokens", "th").join(labels, "rid"),
-    )
+    def build_entities() -> DataFrame:
+        out = (
+            norm.drop("name_norm", "tokens", "th")
+            .join(labels.withColumnRenamed("rid", "rid_b"), "rid_b")
+            .drop("rid_b")
+            .withColumn("entity_id", F.lower(F.hex("entity_id")))
+        )
+        # rid first — the order the string-keyed join (USING rid) produced.
+        return out.select("rid", *[c for c in out.columns if c != "rid"])
+
+    entities = stage("entities", ["cc", "normalize"], build_entities)
     return PipelineRun(
         entities=entities, executed=executed, skipped=skipped, run_dir=run_dir
     )
