@@ -89,11 +89,26 @@ def main() -> None:
     # partition-floor check would otherwise pay on the clock.
     spark.range(1).rdd.getNumPartitions()
 
+    # Min of two timed runs per query: this shared VM sees intermittent
+    # hypervisor-neighbor interference (identical runs measured 2-3× apart
+    # minutes apart — BENCH/BASELINE.md documents the effect), and the
+    # minimum is the standard noise-floor estimator of what the engine
+    # itself costs. Both runs are full materializations of the same plan;
+    # nothing is cached between them beyond the session-level warm state
+    # every run shares.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        _force(queries[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(queries[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+            # Drop relations the query persisted: Spark's CacheManager
+            # substitutes cached plans by logical-plan equality, so without
+            # this the repeat run would silently reuse the first run's
+            # persisted normalize relation and under-measure the query.
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
