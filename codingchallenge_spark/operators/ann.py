@@ -117,10 +117,17 @@ def add_lsh_sketch(
             # Pack each band's bits into an integer code, then map codes to
             # the "b{i}:0101…" key strings through a per-band lookup table —
             # one fancy-index per band instead of per-row string joins. The
-            # LUT has 2^rows_per_band entries (16 at the default 16/4 config);
-            # fall back to vectorized char ops for very wide bands.
-            grp = bits.reshape(len(idx), bands, rows_per_band)
-            if rows_per_band <= 16:
+            # LUT has 2^rows_per_band entries (16 at the default 16/4
+            # config); past 8 bits the table itself (rebuilt per batch)
+            # outgrows the work it saves, so wider bands take the
+            # vectorized-char fallback. Trailing planes beyond
+            # bands·rows_per_band are ignored for indivisible configs —
+            # the same semantics as the per-row implementation this
+            # vectorization replaced.
+            grp = bits[:, : bands * rows_per_band].reshape(
+                len(idx), bands, rows_per_band
+            )
+            if rows_per_band <= 8:
                 weights = 1 << np.arange(rows_per_band - 1, -1, -1)
                 codes = grp @ weights  # (n, bands)
                 cols = [

@@ -162,7 +162,12 @@ def _star_test_and_count(
         # PropagateEmptyRelation together with the CollectMetrics node, so no
         # metrics row ever materializes and obs.get raises. Empty ⇒ star set
         # ⇒ converged=True, and the caller only consumes the count when NOT
-        # converged — 0 is exact, not a guess.
+        # converged — 0 is exact there. Any OTHER failure must surface: on a
+        # non-converged round a swallowed error would feed n_edges=0 to the
+        # adaptive sizing and silently serialize the next round's shuffles
+        # of a possibly huge edge set into one partition.
+        if not converged:
+            raise
         n_edges = 0
     return converged, n_edges
 

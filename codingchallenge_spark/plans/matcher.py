@@ -67,6 +67,26 @@ def candidate_pairs(records_norm: DataFrame, cfg: MatcherConfig) -> DataFrame:
     )
 
 
+def emit_entities(norm: DataFrame, labels: DataFrame) -> DataFrame:
+    """Join CC labels back onto the full rows and restore string ids.
+
+    The one place the binary-rid emit contract lives (shared by the
+    in-memory plan and the checkpointed pipeline): ``labels`` carries
+    binary ``(rid, entity_id)``, ``norm`` carries the full rows plus the
+    narrow-stage columns and ``rid_b``; the output drops the narrow
+    columns, joins on the binary key, re-hexes ``entity_id``, and keeps
+    ``rid`` first — the column order the string-keyed join (USING rid)
+    used to produce, kept stable for downstream consumers.
+    """
+    out = (
+        norm.drop("name_norm", "tokens", "th")
+        .join(labels.withColumnRenamed("rid", "rid_b"), "rid_b")
+        .drop("rid_b")
+        .withColumn("entity_id", F.lower(F.hex("entity_id")))
+    )
+    return out.select("rid", *[c for c in out.columns if c != "rid"])
+
+
 def resolve_entities(
     records: DataFrame, cfg: MatcherConfig | None = None
 ) -> DataFrame:
@@ -115,12 +135,4 @@ def resolve_entities(
     labels = connected_components(
         edges, nodes=work.select("rid"), max_iterations=cfg.cc_max_iterations
     ).labels
-    out = (
-        norm.drop("name_norm", "tokens", "th")
-        .join(labels.withColumnRenamed("rid", "rid_b"), "rid_b")
-        .drop("rid_b")
-        .withColumn("entity_id", F.lower(F.hex("entity_id")))
-    )
-    # rid first — the column order the string-keyed join (USING rid) used to
-    # produce, kept stable for downstream consumers.
-    return out.select("rid", *[c for c in out.columns if c != "rid"])
+    return emit_entities(norm, labels)

@@ -44,7 +44,7 @@ from codingchallenge_spark.operators.scoring import (
     edges_from_scores,
     score_pairs_fused,
 )
-from codingchallenge_spark.plans.matcher import MatcherConfig
+from codingchallenge_spark.plans.matcher import MatcherConfig, emit_entities
 from codingchallenge_spark.sources import checkpoint as ckpt
 
 STAGES = [
@@ -196,8 +196,25 @@ def run_pipeline(
     def build_cc() -> DataFrame:
         iter_dir = _resume_cc_iter_dir(run_dir)
         Path(iter_dir).mkdir(parents=True, exist_ok=True)
+        # cc_iters must belong to THIS edge set: the directory is stamped
+        # with the edges-stage fingerprint (which folds config, input, the
+        # whole upstream chain and the schema version). A stale stamp means
+        # the files were written by an older run — e.g. a pre-binary-rid
+        # schema, or a config whose CC converged in fewer rounds, leaving
+        # higher-numbered iter files a later interrupted resume would
+        # otherwise prefer over the real latest round — so they are wiped
+        # before anything can seed from them.
+        stamp = Path(iter_dir) / "_EDGES_FP"
+        expected = fps["edges"]
+        if not stamp.exists() or stamp.read_text().strip() != expected:
+            import shutil
+
+            for p in Path(iter_dir).iterdir():
+                shutil.rmtree(p) if p.is_dir() else p.unlink()
+            stamp.write_text(expected)
         # Mid-iteration resume is only sound when the edge set is unchanged
-        # (edges stage was skipped under the same fingerprint).
+        # (edges stage was skipped under the same fingerprint — and, via the
+        # stamp above, the surviving iter files provably came from it).
         latest = None
         if resume and "edges" in skipped:
             _, latest = _latest_cc_iteration(iter_dir)
@@ -211,17 +228,9 @@ def run_pipeline(
         return res.labels
 
     labels = stage("cc", ["edges", "normalize"], build_cc)
-    def build_entities() -> DataFrame:
-        out = (
-            norm.drop("name_norm", "tokens", "th")
-            .join(labels.withColumnRenamed("rid", "rid_b"), "rid_b")
-            .drop("rid_b")
-            .withColumn("entity_id", F.lower(F.hex("entity_id")))
-        )
-        # rid first — the order the string-keyed join (USING rid) produced.
-        return out.select("rid", *[c for c in out.columns if c != "rid"])
-
-    entities = stage("entities", ["cc", "normalize"], build_entities)
+    entities = stage(
+        "entities", ["cc", "normalize"], lambda: emit_entities(norm, labels)
+    )
     return PipelineRun(
         entities=entities, executed=executed, skipped=skipped, run_dir=run_dir
     )

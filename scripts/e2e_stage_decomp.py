@@ -33,7 +33,9 @@ from codingchallenge_spark.operators.scoring import (  # noqa: E402
 from codingchallenge_spark.plans.matcher import (  # noqa: E402
     MatcherConfig,
     candidate_pairs,
+    emit_entities,
 )
+from pyspark.sql import functions as F  # noqa: E402
 from codingchallenge_spark.session import build_session  # noqa: E402
 from codingchallenge_spark.sources.records import read_records  # noqa: E402
 
@@ -69,21 +71,29 @@ def noop(df):
 
 results = {}
 
-# Stage 1: normalize + token-hash materialization.
-norm = with_token_hashes(normalize_records(records))
+# Stage 1: normalize + token-hash materialization + binary rid — exactly
+# the production normalize output (resolve_entities persists the same
+# relation; the pipeline's normalize stage writes it to parquet).
+norm = with_token_hashes(normalize_records(records)).withColumn(
+    "rid_b", F.unhex("rid")
+)
 results["normalize"] = timed(lambda: noop(norm))
 norm = norm.persist()
 norm.count()
+# Narrow binary-keyed relation every downstream stage consumes — the
+# decomposition must shuffle the same 32-byte keys production does, or the
+# per-stage attribution measures a plan the pipeline no longer executes.
+work = norm.select(F.col("rid_b").alias("rid"), "name_norm", "tokens", "th")
 
 # Stage 2: multi-pass blocking + meta-union (reads persisted norm).
-pairs = candidate_pairs(norm, cfg)
+pairs = candidate_pairs(work, cfg)
 results["blocking"] = timed(lambda: noop(pairs))
 pairs = pairs.persist()
 pairs.count()
 
 # Stage 3: fused scoring + edge emit (reads persisted pairs + norm).
 edges = edges_from_scores(
-    score_pairs_fused(pairs, norm, weights=cfg.weights, threshold=cfg.threshold),
+    score_pairs_fused(pairs, work, weights=cfg.weights, threshold=cfg.threshold),
     threshold=cfg.threshold,
 )
 results["score_edges"] = timed(lambda: noop(edges))
@@ -91,17 +101,18 @@ edges = edges.persist()
 edges.count()
 
 # Stage 4: connected components (iterative; includes per-round actions).
-nodes = norm.select("rid")
+nodes = work.select("rid")
 results["cc"] = timed(
     lambda: noop(connected_components(edges, nodes=nodes, max_iterations=cfg.cc_max_iterations).labels)
 )
 
-# Stage 5: final emit join (labels re-derived once, persisted, then joined).
+# Stage 5: final emit join (labels re-derived once, persisted, then joined
+# through the shared binary-rid emit contract).
 labels = connected_components(
     edges, nodes=nodes, max_iterations=cfg.cc_max_iterations
 ).labels.persist()
 labels.count()
-final = norm.drop("name_norm", "tokens", "th").join(labels, "rid")
+final = emit_entities(norm, labels)
 results["emit"] = timed(lambda: noop(final))
 
 print(

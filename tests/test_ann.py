@@ -121,3 +121,21 @@ def test_lloyd_refine_deterministic(spark, emb):
     a = lloyd_refine(emb, "embedding", seeds, iters=2)
     b = lloyd_refine(emb, "embedding", seeds, iters=2)
     assert (a == b).all()
+
+
+def test_lsh_sketch_indivisible_config(spark, emb):
+    """n_planes not divisible by bands must not crash the sketch kernel:
+    trailing planes beyond bands*rows_per_band are ignored (the documented
+    semantics of the per-row implementation the vectorized kernel replaced)."""
+    from codingchallenge_spark.operators.ann import add_lsh_sketch
+
+    rows = (
+        add_lsh_sketch(emb.limit(50), n_planes=10, bands=4)
+        .select("_bands")
+        .collect()
+    )
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r._bands) == 4
+        # rows_per_band = 10 // 4 = 2 → each key is "b{i}:" + 2 bits
+        assert all(len(b) == len("b0:") + 2 for b in r._bands)
