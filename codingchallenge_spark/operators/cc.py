@@ -17,7 +17,8 @@ exceptAll diff or a fingerprint compared across rounds (G3). Optional durable
 ``iter_dir`` writes the edge set every round so an
 interrupted clustering stage resumes mid-iteration (BASELINE.json:14, EP3).
 
-Scale notes: every round shuffles on node id — hashed 64-hex strings, i.e.
+Scale notes: every round shuffles on node id — 32-byte binary sha256 record
+ids (the pipeline unhexes the 64-char hex form once after normalize), i.e.
 uniformly distributed keys; skew only arises from genuinely huge components,
 which the star construction itself flattens logarithmically. AQE handles the
 rest. No driver-side iteration over data — the only per-round action is the
