@@ -97,3 +97,34 @@ def test_marker_lineage(spark, run_dir):
     ]
     assert any(m["stage"] == "cc" and not m["skipped"] for m in metrics)
     assert any(m["skipped"] for m in metrics)
+
+
+def test_stale_cc_iters_wiped_on_edges_fingerprint_change(
+    spark, tiny_records, run_dir
+):
+    """cc_iters files written under a DIFFERENT edges fingerprint must be
+    wiped before the cc stage can seed from them: a high-numbered leftover
+    from an older run would otherwise be preferred by _latest_cc_iteration
+    over the real latest round on an interrupted resume."""
+    cfg = MatcherConfig()
+    out_before = _labels(
+        run_pipeline(spark, tiny_records, run_dir, cfg, input_id="tiny",
+                     resume=True).entities
+    )
+    iter_dir = Path(run_dir) / "cc_iters"
+    # forge a foreign-edge-set leftover: poison stamp + bogus high iteration
+    (iter_dir / "_EDGES_FP").write_text("stale-fingerprint")
+    bogus = iter_dir / "edges_iter_099.parquet"
+    bogus.mkdir(parents=True, exist_ok=True)
+    (bogus / "_SUCCESS").touch()
+    # interrupt after edges: cc must re-run while edges is skipped — exactly
+    # the window where _latest_cc_iteration consults surviving iter files
+    for stage in ["cc", "entities"]:
+        shutil.rmtree(Path(run_dir) / stage, ignore_errors=True)
+    run = run_pipeline(
+        spark, tiny_records, run_dir, cfg, input_id="tiny", resume=True
+    )
+    assert run.executed == ["cc", "entities"]
+    assert not bogus.exists()  # wiped, not seeded from
+    assert (iter_dir / "_EDGES_FP").read_text() != "stale-fingerprint"
+    assert _labels(run.entities) == out_before
