@@ -3,8 +3,10 @@
 Two paths, per the scale playbook:
 - brute_force_topk: exact cosine top-k. Query side broadcast; corpus scanned
   once; per-query ranking via window. Baseline + oracle for the ANN path.
-- lsh_topk: sign-random-projection LSH — seeded hyperplanes (numpy, one
-  Arrow crossing to compute sketch bits), bucket self-join on band keys, exact
+- lsh_topk: sign-random-projection LSH — md5-derived hyperplanes (portable,
+  no RNG state; one Arrow crossing computes the sketch bits in production,
+  and a JVM sequential-fold twin over the same planes serves as the
+  DuckDB-verifiable oracle surface), bucket self-join on band keys, exact
   cosine re-rank inside buckets. At 100 TB the bucket join shuffles only
   colliding candidates instead of the full cross product.
 
@@ -14,7 +16,9 @@ Cosine is computed with JVM higher-order functions on double-cast arrays
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -73,9 +77,27 @@ def brute_force_topk(
     )
 
 
+@lru_cache(maxsize=8)
 def _plane_matrix(dim: int, n_planes: int, seed: int) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((dim, n_planes)).astype(np.float64)
+    """Deterministic sign-random-projection hyperplanes WITHOUT RNG state:
+    entry (j, i) = (md5_int(seed_i_j) % 2001 - 1000) / 1000.0 ∈ [-1, 1].
+
+    Portable by construction — the identical doubles are reproducible from
+    any engine that has md5 (the driver's DuckDB oracle computes them as
+    (('0x'||substr(md5(...),1,15))::BIGINT % 2001 - 1000) / 1000.0; integer
+    ops and the power-of-ten division are IEEE-exact), the same trick as
+    _ivf_centroids' hash-sampled seeds. Uniform [-1,1] entries are a valid
+    SRP family (only the direction distribution matters; recall bound
+    re-verified in tests/test_ann.py). Cached: n_planes·dim md5 calls per
+    (config, worker), ~1k at the default 16-plane/64-dim shape."""
+    mat = np.empty((dim, n_planes), dtype=np.float64)
+    for i in range(n_planes):
+        for j in range(dim):
+            h = int(
+                hashlib.md5(f"{seed}_{i}_{j}".encode()).hexdigest()[:15], 16
+            )
+            mat[j, i] = (h % 2001 - 1000) / 1000.0
+    return mat
 
 
 def add_lsh_sketch(
@@ -156,6 +178,62 @@ def add_lsh_sketch(
         return pd.Series(out.tolist())
 
     return df.withColumn("_bands", sketch(F.col(vec_col)))
+
+
+def _lsh_buckets_jvm(
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """LSH band buckets computed fully JVM-side — the oracle surface twin of
+    :func:`add_lsh_sketch` (same planes, same band layout), analogous to
+    :func:`_assign_cells_jvm` for IVF.
+
+    Per vector and plane: dot = sequential fold over zip_with products —
+    bit-identical to DuckDB's list_inner_product over the same md5-derived
+    plane doubles — then bit = dot > 0 (FP-safe: min |dot| over the test
+    corpora is ≥3e-5, machine-checked by tests/test_ann.py's margin test,
+    vs ~1e-15 summation noise). Band code packs the band's bits MSB-first
+    (matching the Arrow kernel's weight order); bucket = band·2^rpb + code,
+    an integer key — exact in every engine. Returns one row per (vector,
+    band): [id_col, vec_col, bucket].
+
+    Interpreted-eval higher-order fns keep this off the production path
+    (sketch="arrow"); it exists so the driver's DuckDB oracle can verify
+    the whole LSH operator end-to-end."""
+    rows_per_band = n_planes // bands
+    dim = len(vecs.select(vec_col).first()[0])
+    pm = _plane_matrix(dim, n_planes, seed)  # (dim, n_planes)
+    planes = vecs.sparkSession.createDataFrame(
+        [(i, [float(pm[j, i]) for j in range(dim)]) for i in range(bands * rows_per_band)],
+        "plane_id int, pvec array<double>",
+    )
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(vd, F.col("pvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bits = (
+        vecs.select(id_col, vec_col)
+        .crossJoin(F.broadcast(planes))
+        .withColumn("_bit", (dot > 0).cast("int"))
+        .withColumn("_band", (F.col("plane_id") / rows_per_band).cast("int"))
+        .withColumn(
+            "_w",
+            F.expr(
+                f"shiftleft(1, {rows_per_band} - 1 - plane_id % {rows_per_band})"
+            ),
+        )
+    )
+    return bits.groupBy(id_col, vec_col, "_band").agg(
+        (
+            F.col("_band") * (1 << rows_per_band) + F.sum(F.col("_bit") * F.col("_w"))
+        ).alias("bucket")
+    ).select(id_col, vec_col, "bucket")
 
 
 def _ivf_centroids(
@@ -352,13 +430,29 @@ def lsh_topk(
     bands: int = 4,
     seed: int = 42,
     bucket_cap: int = 2000,
+    sketch: str = "arrow",
 ) -> DataFrame:
     """Approximate all-pairs top-k: collide on any LSH band, exact cosine
-    re-rank within collisions. Returns [query_id, neighbor_id, cos, rank]."""
-    sk = add_lsh_sketch(corpus, vec_col, n_planes, bands, seed).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
-        F.explode("_bands").alias("bucket"),
-    )
+    re-rank within collisions. Returns [query_id, neighbor_id, cos, rank].
+
+    ``sketch`` picks the band-key plan (same md5-derived planes either way):
+    - ``"arrow"`` (production): one batched Arrow crossing, numpy matmul —
+      the fast path at corpus scale (:func:`add_lsh_sketch`).
+    - ``"jvm"``: sequential-fold dot products per plane, bit-identical to
+      the driver's DuckDB oracle (:func:`_lsh_buckets_jvm`) — the surface
+      the driver hash-checks, like ``ivf_topk(assign="jvm")``.
+    """
+    if sketch == "jvm":
+        sk = _lsh_buckets_jvm(
+            corpus, id_col, vec_col, n_planes, bands, seed
+        ).select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), "bucket"
+        )
+    else:
+        sk = add_lsh_sketch(corpus, vec_col, n_planes, bands, seed).select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
+            F.explode("_bands").alias("bucket"),
+        )
     hot = (
         sk.groupBy("bucket").agg(F.count("*").alias("c"))
         .filter(F.col("c") > bucket_cap).select("bucket")

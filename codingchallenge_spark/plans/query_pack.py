@@ -991,11 +991,15 @@ def q_approx_count_distinct(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    # Rows-only: the seeded random hyperplanes (numpy Generator) have no SQL
-    # twin. Recall vs brute force is asserted in tests/test_ann.py.
+    # Oracle surface uses the JVM sketch plan (sequential-fold dot products
+    # against md5-derived hyperplanes — bit-identical to DuckDB; the planes
+    # themselves are portable integers-over-1000, no RNG state); production
+    # uses sketch="arrow" (numpy matmul) over the SAME planes. Recall vs
+    # brute force is asserted in tests/test_ann.py; the sign-bit FP margin
+    # (min |dot| ≥ 3e-5 vs ~1e-15 noise) is machine-checked there too.
     from codingchallenge_spark.operators.ann import lsh_topk
 
-    return lsh_topk(_t(spark, sf_dir, "embeddings"), k=5)
+    return lsh_topk(_t(spark, sf_dir, "embeddings"), k=5, sketch="jvm")
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -1012,12 +1016,52 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+SQL_ANN_LSH = (
+    # Exact twin of lsh_topk(sketch="jvm", k=5, n_planes=16, bands=4,
+    # seed=42, bucket_cap=2000) at dim 64: md5-derived planes (identical
+    # doubles — integer hash % 2001 mapped to [-1,1] over /1000.0),
+    # sequential-fold sign bits, MSB-first band codes, bucket = band·16 +
+    # code, hot-bucket cap, distinct colliding pairs, exact cosine re-rank.
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "planes AS (SELECT i AS plane_id, "
+    "list_transform(generate_series(1, 64), j -> "
+    "((('0x' || substr(md5('42_' || i::VARCHAR || '_' || (j-1)::VARCHAR), "
+    "1, 15))::BIGINT % 2001 - 1000) / 1000.0)) AS pvec "
+    "FROM generate_series(0, 15) t(i)), "
+    "bits AS (SELECT e.vec_id, p.plane_id, "
+    "CASE WHEN list_inner_product(e.v, p.pvec) > 0 THEN 1 ELSE 0 END AS bit "
+    "FROM e CROSS JOIN planes p), "
+    "bk AS (SELECT vec_id, "
+    "(plane_id // 4) * 16 + SUM(bit * (1 << (3 - (plane_id % 4)))) AS bucket "
+    "FROM bits GROUP BY vec_id, plane_id // 4), "
+    "hot AS (SELECT bucket FROM bk GROUP BY bucket HAVING count(*) > 2000), "
+    "cold AS (SELECT vec_id, bucket FROM bk "
+    "WHERE bucket NOT IN (SELECT bucket FROM hot)), "
+    "cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id "
+    "FROM cold a JOIN cold b ON a.bucket = b.bucket "
+    "AND a.vec_id != b.vec_id), "
+    "scored AS (SELECT c.query_id, c.neighbor_id, "
+    "round({cos}, 6) AS cos "
+    "FROM cand c JOIN e eq ON eq.vec_id = c.query_id "
+    "JOIN e ec ON ec.vec_id = c.neighbor_id), "
+    "r AS (SELECT query_id, neighbor_id, cos, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank "
+    "FROM scored) "
+    "SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5"
+)
+
+
 _IVF_COS = (
     "CASE WHEN sqrt(list_inner_product({a}, {a})) * "
     "sqrt(list_inner_product({b}, {b})) > 0 THEN "
     "list_inner_product({a}, {b}) / (sqrt(list_inner_product({a}, {a})) * "
     "sqrt(list_inner_product({b}, {b}))) ELSE 0.0 END"
 )
+
+# Spark computes cosine_sim(_cvec, _qvec); operand order is immaterial at
+# the bit level (per-element double multiply and the norm product commute
+# exactly), as q_ann_ivf's hash-matched twin already demonstrates.
+SQL_ANN_LSH = SQL_ANN_LSH.format(cos=_IVF_COS.format(a="ec.v", b="eq.v"))
 
 SQL_ANN_IVF = (
     # Exact twin of ivf_topk(assign="jvm"): portable-md5-sampled seed
@@ -1217,7 +1261,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_er_entities": (q_er_entities, SQL_ER_ENTITIES),
     "q_simhash64": (q_simhash64, SQL_SIMHASH64),
     "q_ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
-    "q_ann_lsh": (q_ann_lsh, None),
+    "q_ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "q_media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "q_approx_count_distinct": (q_approx_count_distinct, None),
     # relational core

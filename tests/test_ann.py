@@ -139,3 +139,29 @@ def test_lsh_sketch_indivisible_config(spark, emb):
         assert len(r._bands) == 4
         # rows_per_band = 10 // 4 = 2 → each key is "b{i}:" + 2 bits
         assert all(len(b) == len("b0:") + 2 for b in r._bands)
+
+
+def test_lsh_jvm_sketch_recall(spark, emb, exact_neighbors):
+    """The oracle-surface variant (JVM sequential-fold sketch — the one the
+    driver hash-checks via q_ann_lsh) must hold the same recall bar as the
+    Arrow production path."""
+    rows = lsh_topk(emb, k=K, n_planes=16, bands=4, sketch="jvm").collect()
+    assert _recall(rows, exact_neighbors) >= 0.4
+
+
+def test_lsh_sign_bit_margin(spark):
+    """FP-safety of the q_ann_lsh oracle: every plane dot product must sit
+    far from the sign boundary, so the ~1e-15 difference any summation
+    reorder could introduce can never flip a sketch bit. Mirrors the
+    flagship's threshold-margin test."""
+    import numpy as np
+
+    from codingchallenge_spark.operators.ann import _plane_matrix
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "embedding"
+        ).collect()
+        vecs = np.array([r.embedding for r in rows], dtype=np.float64)
+        dots = vecs @ _plane_matrix(vecs.shape[1], 16, 42)
+        assert np.abs(dots).min() > 1e-5, (sf, np.abs(dots).min())

@@ -28,10 +28,11 @@ def test_queries_and_oracles_aligned():
     o = mod.oracle_sql()
     assert len(q) >= 40
     assert set(o) <= set(q)
-    # every oracle key resolves; rows-only entries are the documented two
-    # (HLL sketch differs from DuckDB's; LSH planes are numpy-RNG-seeded)
+    # every oracle key resolves; the single rows-only entry is documented
+    # (HLL sketch differs from DuckDB's; q_ann_lsh gained a full twin once
+    # the planes became md5-derived rather than numpy-RNG-seeded)
     rows_only = set(q) - set(o)
-    assert rows_only == {"q_approx_count_distinct", "q_ann_lsh"}
+    assert rows_only == {"q_approx_count_distinct"}
     # the driver recorded exactly 50 queries in round 1 and dropped the rest:
     # stay below that window
     assert len(q) <= 50
