@@ -100,3 +100,14 @@ def with_token_hashes(records_norm: DataFrame) -> DataFrame:
     from codingchallenge_spark.functions.similarity import token_hashes
 
     return records_norm.withColumn("th", token_hashes("tokens"))
+
+
+def with_token_hashes32(records_norm: DataFrame) -> DataFrame:
+    """Append ``th32`` = 31-bit truncated/deduped/sorted form of ``th`` —
+    the half-width fingerprints the scoring prefilter crossing ships instead
+    of the full 64-bit arrays (similarity.token_hashes32 documents the
+    exact-conservative upper-bound property). Interpreted-eval: materialize
+    once alongside ``th``, same rule as :func:`with_token_hashes`."""
+    from codingchallenge_spark.functions.similarity import token_hashes32
+
+    return records_norm.withColumn("th32", token_hashes32("th"))

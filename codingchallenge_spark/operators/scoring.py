@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from codingchallenge_spark.functions.similarity import (
+    hashed_jaccard32_udf,
     hashed_jaccard_batch,
     hashed_jaccard_udf,
     jaro_winkler_batch,
@@ -191,30 +192,43 @@ def fused_pair_attrs(
     ONCE, shipping (name_norm, th) together. Half the joins / broadcast
     builds of a jaccard-then-names two-round plan."""
     keep = [c for c in ("rid1", "rid2", "block_key") if c in pairs.columns]
+    # When the records relation carries the 31-bit truncated fingerprints
+    # (normalize.with_token_hashes32), ship them alongside th: the prefilter
+    # crossing then sends the half-width arrays to Python while th rides
+    # JVM-side to the (tiny) survivor recompute — see fused_score_from_attrs.
+    has32 = "th32" in records_norm.columns
+    extra = ["th32"] if has32 else []
     if "th" in records_norm.columns:
-        attrs = records_norm.select("rid", "name_norm", "th")
+        attrs = records_norm.select("rid", "name_norm", "th", *extra)
     else:
         attrs = records_norm.select(
-            "rid", "name_norm", token_hashes("tokens").alias("th")
+            "rid", "name_norm", token_hashes("tokens").alias("th"), *extra
         )
     if salt_buckets > 0:
         joined = salted_join(pairs, attrs, "rid1", salt_buckets)
-        joined = joined.withColumnsRenamed({"name_norm": "name1", "th": "th1"})
+        joined = joined.withColumnsRenamed(
+            {"name_norm": "name1", "th": "th1", **({"th32": "th1_32"} if has32 else {})}
+        )
         joined = salted_join(joined, attrs, "rid2", salt_buckets)
-        joined = joined.withColumnsRenamed({"name_norm": "name2", "th": "th2"})
+        joined = joined.withColumnsRenamed(
+            {"name_norm": "name2", "th": "th2", **({"th32": "th2_32"} if has32 else {})}
+        )
     else:
         a1 = attrs.select(
             F.col("rid").alias("rid1"),
             F.col("name_norm").alias("name1"),
             F.col("th").alias("th1"),
+            *([F.col("th32").alias("th1_32")] if has32 else []),
         )
         a2 = attrs.select(
             F.col("rid").alias("rid2"),
             F.col("name_norm").alias("name2"),
             F.col("th").alias("th2"),
+            *([F.col("th32").alias("th2_32")] if has32 else []),
         )
         joined = pairs.join(a1, "rid1").join(a2, "rid2")
-    return joined.select(*keep, "name1", "name2", "th1", "th2")
+    cols32 = ["th1_32", "th2_32"] if has32 else []
+    return joined.select(*keep, "name1", "name2", "th1", "th2", *cols32)
 
 
 def fused_kernel(
@@ -313,19 +327,58 @@ def fused_score_from_attrs(
             joined = joined.filter(
                 F.least(n1, n2) >= F.lit(min_jac) * F.greatest(n1, n2)
             )
-    scored = joined.withColumn(
-        "jaccard", hashed_jaccard_udf("th1", "th2")
-    ).drop("th1", "th2")
-    if min_jac > 0:
+    if "th1_32" in joined.columns and min_jac > 0:
+        # Half-width prefilter crossing: ship the 31-bit truncated arrays
+        # (half the Arrow bytes of th, and the int32 kernel sorts half the
+        # matrix bytes), filter on the provable lower bound
+        #   jac32 ≥ jaccard − m/max(|A|,|B|),  m = min(|A|−|A'|, |B|−|B'|)
+        # (similarity.hashed_jaccard_batch32 derives it; a plain jac32 ≥
+        # jaccard does NOT hold when a collision merges two common tokens).
+        # m = 0 for virtually every real pair, so the relaxation changes
+        # selectivity only on the ~10⁻⁶ of pairs with a within-record 31-bit
+        # collision. Then one survivor crossing computes the exact 64-bit
+        # jaccard + jw + lev together (three adjacent scalar UDFs → one
+        # ArrowEvalPython node). th1/th2 ride JVM-side past the prefilter —
+        # ArrowEvalPython ships only UDF arguments, so the full-width arrays
+        # only ever cross for the tiny survivor set. Exact: the final filter
+        # re-applies the bound on the exact jaccard, so the output multiset
+        # is identical to the th64-only plan (tested equal).
+        n1, n2 = F.size("th1"), F.size("th2")
+        relax = (
+            F.least(n1 - F.size("th1_32"), n2 - F.size("th2_32"))
+            / F.greatest(n1, n2, F.lit(1))
+        ).cast("double")
+        pre = joined.withColumn(
+            "jac32", hashed_jaccard32_udf("th1_32", "th2_32")
+        )
+        pre = pre.filter(
+            F.col("jac32") >= F.lit(min_jac) - relax
+        ).drop("th1_32", "th2_32", "jac32")
+        scored = pre.withColumns(
+            {
+                "jaccard": hashed_jaccard_udf("th1", "th2"),
+                "jw": jaro_winkler_udf("name1", "name2"),
+                "lev": levenshtein_ratio_udf("name1", "name2"),
+            }
+        ).drop("th1", "th2")
         scored = scored.filter(F.col("jaccard") >= F.lit(min_jac))
-    scored = scored.withColumns(
-        {
-            # Adjacent scalar pandas UDFs in one projection → a single
-            # ArrowEvalPython node; name1/name2 ship once, two doubles return.
-            "jw": jaro_winkler_udf("name1", "name2"),
-            "lev": levenshtein_ratio_udf("name1", "name2"),
-        }
-    ).withColumn(
+    else:
+        if "th1_32" in joined.columns:
+            joined = joined.drop("th1_32", "th2_32")
+        scored = joined.withColumn(
+            "jaccard", hashed_jaccard_udf("th1", "th2")
+        ).drop("th1", "th2")
+        if min_jac > 0:
+            scored = scored.filter(F.col("jaccard") >= F.lit(min_jac))
+        scored = scored.withColumns(
+            {
+                # Adjacent scalar pandas UDFs in one projection → a single
+                # ArrowEvalPython node; name1/name2 ship once, doubles return.
+                "jw": jaro_winkler_udf("name1", "name2"),
+                "lev": levenshtein_ratio_udf("name1", "name2"),
+            }
+        )
+    scored = scored.withColumn(
         "score",
         F.col("jw") * F.lit(w["jw"])
         + F.col("lev") * F.lit(w["lev"])

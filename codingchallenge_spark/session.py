@@ -40,6 +40,43 @@ def _tree_newest_mtime(root: Path) -> float:
     return newest
 
 
+def _reap_stale_local_dirs(shm_root: Path, max_age_s: float = 86400) -> None:
+    """Reclaim local-dir leftovers from crashed sessions under ``shm_root``.
+
+    ``pid-<pid>`` dirs (this factory's layout) are owned by exactly one
+    driver process: the pid being gone IS the liveness signal, so they are
+    reaped immediately — a crashed 40 GB shuffle footprint is freed by the
+    next session instead of starving the box for a day (measured: two
+    crashed-run leftovers held 75 GB of tmpfs and OOM-killed the next JVM).
+    A PermissionError from ``os.kill(pid, 0)`` means alive-under-another-uid
+    → keep. Dirs without the prefix (older layout / foreign writers) fall
+    back to deepest-file-mtime > ``max_age_s`` — the TOP-LEVEL dir mtime is
+    not a liveness signal (a live session's blockmgr dir mtime freezes at
+    startup while writes land in nested hash subdirs).
+    """
+    import shutil
+    import time
+
+    if not shm_root.is_dir():
+        return
+    cutoff = time.time() - max_age_s
+    for p in shm_root.iterdir():
+        try:
+            if p.name.startswith("pid-"):
+                pid = int(p.name[4:])
+                try:
+                    os.kill(pid, 0)  # raises if pid is gone
+                    continue
+                except ProcessLookupError:
+                    shutil.rmtree(p, ignore_errors=True)
+                except PermissionError:
+                    continue
+            elif _tree_newest_mtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except (OSError, ValueError):
+            pass
+
+
 def build_session(
     app_name: str = "codingchallenge-spark",
     master: str | None = None,
@@ -73,27 +110,15 @@ def build_session(
         if local_dir is None and Path("/dev/shm").is_dir():
             # tmpfs shuffle eats RAM: opt in only with real headroom (a
             # footprint past capacity fails with ENOSPC where disk would
-            # absorb it), and reap leftovers from crashed runs first — but
-            # only clearly-stale ones (>1 day old), never a live session's
-            # blockmgr dirs. Staleness is judged by the NEWEST mtime anywhere
-            # under the dir, not the top-level dir's: a still-running session
-            # older than a day has blockmgr-*/spark-* dirs whose top-level
-            # mtimes froze at startup while its shuffle writes keep landing
-            # in nested hash subdirs.
+            # absorb it), and reap crashed-run leftovers first — each
+            # session writes under its own ``pid-<pid>`` subdir so
+            # _reap_stale_local_dirs can use process liveness, not mtime.
             import shutil
-            import time
 
-            shm_dir = Path("/dev/shm/ccspark-local")
-            if shm_dir.is_dir():
-                cutoff = time.time() - 86400
-                for p in shm_dir.iterdir():
-                    try:
-                        if _tree_newest_mtime(p) < cutoff:
-                            shutil.rmtree(p, ignore_errors=True)
-                    except OSError:
-                        pass
+            shm_root = Path("/dev/shm/ccspark-local")
+            _reap_stale_local_dirs(shm_root)
             if shutil.disk_usage("/dev/shm").free >= 8 << 30:
-                local_dir = str(shm_dir)
+                local_dir = str(shm_root / f"pid-{os.getpid()}")
         if local_dir:
             Path(local_dir).mkdir(parents=True, exist_ok=True)
             conf["spark.local.dir"] = local_dir

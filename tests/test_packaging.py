@@ -70,3 +70,40 @@ def test_read_records_enforces_schema(spark, tmp_path):
     spark.createDataFrame([(1, "a")], ["repo", "path"]).write.parquet(p)
     with pytest.raises(ValueError, match="missing required columns"):
         read_records(spark, p, fmt="parquet")
+
+
+def test_reap_stale_local_dirs(tmp_path):
+    """Liveness-based tmpfs reaping (session._reap_stale_local_dirs):
+    a pid-* dir whose process is dead goes immediately; a pid-* dir owned
+    by a live process stays; legacy (non-pid) dirs use the deepest-file
+    mtime — fresh kept, >max_age reaped; garbage names never raise."""
+    import os
+    import time
+
+    from codingchallenge_spark.session import _reap_stale_local_dirs
+
+    # Dead pid: spawn-and-wait a child so the pid is certainly recycled-free.
+    dead_pid = os.spawnlp(os.P_NOWAIT, "true", "true")
+    os.waitpid(dead_pid, 0)
+    (tmp_path / f"pid-{dead_pid}" / "blockmgr-x").mkdir(parents=True)
+    (tmp_path / f"pid-{os.getpid()}" / "blockmgr-y").mkdir(parents=True)
+    stale = tmp_path / "blockmgr-legacy-stale"
+    (stale / "00").mkdir(parents=True)
+    f = stale / "00" / "shuffle.data"
+    f.write_bytes(b"x")
+    old = time.time() - 7 * 86400
+    os.utime(f, (old, old))
+    os.utime(stale / "00", (old, old))
+    os.utime(stale, (old, old))
+    fresh = tmp_path / "blockmgr-legacy-fresh"
+    fresh.mkdir()
+    (fresh / "live.data").write_bytes(b"x")
+    (tmp_path / "pid-notanumber").mkdir()
+
+    _reap_stale_local_dirs(tmp_path)
+
+    assert not (tmp_path / f"pid-{dead_pid}").exists()
+    assert (tmp_path / f"pid-{os.getpid()}").exists()
+    assert not stale.exists()
+    assert fresh.exists()
+    assert (tmp_path / "pid-notanumber").exists()  # skipped, not crashed

@@ -123,6 +123,20 @@ def test_scoring_python_crossings_bounded(spark, tiny_records):
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan3)) >= 2, plan3
     assert "BatchEvalPython" not in plan3
 
+    # int32-prefilter variant: still exactly two crossings — the half-width
+    # jac32 prefilter, then ONE survivor node evaluating exact jaccard + jw
+    # + lev as adjacent scalar UDFs (th64 only ever crosses for survivors).
+    from codingchallenge_spark.functions.normalize import with_token_hashes32
+
+    norm32 = with_token_hashes32(
+        with_token_hashes(normalize_records(tiny_records))
+    ).select("rid", "name_norm", "tokens", "th", "th32")
+    fused32 = score_pairs_fused(pairs, norm32, weights=cfg.weights,
+                                threshold=cfg.threshold)
+    plan4 = _plan(fused32)
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan4)) == 2, plan4
+    assert "MapInPandas" not in plan4 and "BatchEvalPython" not in plan4
+
 
 def test_fused_equals_pruned(spark, tiny_records):
     """Exactness across all three scorer plans: the production narrow-crossing
@@ -139,11 +153,17 @@ def test_fused_equals_pruned(spark, tiny_records):
                           threshold=cfg.threshold)
     c = score_pairs_fused_arrow(pairs, norm, weights=cfg.weights,
                                 threshold=cfg.threshold)
+    from codingchallenge_spark.functions.normalize import with_token_hashes32
+
+    d = score_pairs_fused(pairs, with_token_hashes32(norm),
+                          weights=cfg.weights, threshold=cfg.threshold)
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     rc = sorted(map(tuple, c.collect()))
+    rd = sorted(map(tuple, d.collect()))
     assert ra == rb
     assert ra == rc
+    assert ra == rd  # int32 prefilter is exact: survivors recompute on th64
     norm.unpersist()
     pairs.unpersist()
 

@@ -150,3 +150,70 @@ def test_udf_parity_and_single_crossing(spark):
     assert np.allclose(
         [r.jac_native for r in rows], [r.jac_udf for r in rows], atol=1e-12
     )
+
+
+# ---------------------------------------------------------------------------
+# int32-prefilter kernel: truncation upper-bound property + exactness
+# ---------------------------------------------------------------------------
+
+hash_sets = st.lists(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=30
+).map(lambda xs: sorted(set(xs)))
+
+
+def _set_jaccard(a, b):
+    sa, sb = set(a), set(b)
+    u = len(sa | sb)
+    return (len(sa & sb) / u) if u else 1.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(hash_sets, hash_sets), min_size=1, max_size=20))
+def test_hashed_jaccard32_prefilter_bound(pairs):
+    """The prefilter's provable bound (similarity.hashed_jaccard_batch32):
+    jaccard over a truncated/re-deduped image is ≥ exact jaccard −
+    m/max(|A|,|B|) with m = min(|A|−|A'|, |B|−|B'|) — the relaxation the
+    scorer subtracts from min_jac so the prefilter never drops a passing
+    pair (a PURE ≥ is false: a collision can merge two common tokens).
+    Mask 0xF forces heavy collisions so the bound is exercised, not
+    vacuous; kernel output must also equal the set-jaccard of the truncated
+    arrays exactly."""
+    from codingchallenge_spark.functions.similarity import (
+        hashed_jaccard_batch,
+        hashed_jaccard_batch32,
+    )
+
+    MASK = 0xF
+    ta = [sorted({x & MASK for x in a}) for a, _ in pairs]
+    tb = [sorted({x & MASK for x in b}) for _, b in pairs]
+    exact = hashed_jaccard_batch(
+        pd.Series([a for a, _ in pairs]), pd.Series([b for _, b in pairs])
+    )
+    trunc = hashed_jaccard_batch32(pd.Series(ta), pd.Series(tb))
+    for i, ((a, b), (x, y)) in enumerate(zip(pairs, zip(ta, tb))):
+        assert exact[i] == pytest.approx(_set_jaccard(a, b))
+        assert trunc[i] == pytest.approx(_set_jaccard(x, y))
+        m = min(len(a) - len(x), len(b) - len(y))
+        relax = m / max(len(a), len(b), 1)
+        assert trunc[i] >= exact[i] - relax - 1e-12
+
+
+def test_token_hashes32_matches_python_truncation(spark):
+    """The SQL construction (x & 0x7FFFFFFF, distinct, sort) equals the
+    Python-side truncation of the same th array, and stays in int32 range."""
+    from pyspark.sql import functions as F
+
+    from codingchallenge_spark.functions.similarity import (
+        token_hashes,
+        token_hashes32,
+    )
+
+    df = spark.createDataFrame(
+        [(["alpha", "beta", "gamma", "alpha_2", "x"],), ([],), (["q"],)],
+        ["tokens"],
+    ).withColumn("th", token_hashes("tokens"))
+    rows = df.withColumn("th32", token_hashes32("th")).collect()
+    for r in rows:
+        expect = sorted({x & 0x7FFFFFFF for x in r.th})
+        assert list(r.th32) == expect
+        assert all(0 <= v <= 0x7FFFFFFF for v in r.th32)
