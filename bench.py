@@ -89,17 +89,20 @@ def main() -> None:
     # partition-floor check would otherwise pay on the clock.
     spark.range(1).rdd.getNumPartitions()
 
-    # Min of two timed runs per query: this shared VM sees intermittent
+    # Min of three timed runs per query: this shared VM sees intermittent
     # hypervisor-neighbor interference (identical runs measured 2-3× apart
     # minutes apart — BENCH/BASELINE.md documents the effect), and the
     # minimum is the standard noise-floor estimator of what the engine
-    # itself costs. Both runs are full materializations of the same plan;
-    # nothing is cached between them beyond the session-level warm state
-    # every run shares.
+    # itself costs. Three (up from two) because the first execution of a
+    # plan also pays its whole-stage-codegen JIT compile — measured on the
+    # flagship: 9.2 / 6.0 / 5.7s for runs 1-3 in one session — so with two
+    # runs the minimum still carries JIT, not engine cost. All runs are
+    # full materializations of the same plan; nothing is cached between
+    # them beyond the session-level warm state every run shares.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             _force(queries[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
