@@ -350,6 +350,20 @@ def test_ivf_ann_cell_join_guarded(spark):
     _assert_selfjoin_guarded(ivf_topk(emb, k=5, assign="arrow"), "ivf_topk")
 
 
+def test_incremental_token_join_guarded(spark, tiny_records):
+    """The delta-side token join is the same exploded-relation shape whose
+    size estimate Catalyst gets wrong (commits ce2a8c6/05fcdda): the corpus
+    side must shuffle, never broadcast."""
+    from codingchallenge_spark.plans.incremental import incremental_token_pairs
+
+    work = normalize_records(tiny_records).select(
+        "rid", "name_norm", "tokens", (F.crc32("rid") % 7 == 0).alias("is_new")
+    )
+    _assert_selfjoin_guarded(
+        incremental_token_pairs(work, df_cap=100), "incremental_token_pairs"
+    )
+
+
 def test_exchange_count_in_token_blocking(spark, tiny_records):
     """Token blocking = explode → hot-key anti-join → self-join: the self-join
     needs exactly one exchange per side on `tok` (plus the tiny hot-list
