@@ -116,8 +116,24 @@ def sorted_neighborhood(
     Returns DataFrame[rid1, rid2, block_key] canonical + deduped.
     """
     keyed = records_norm.select("rid", "name_norm")
-    bucketed = keyed.repartitionByRange(num_buckets, "name_norm", "rid").withColumn(
-        "part", F.spark_partition_id()
+    # The seam pass below is only exact if the inner pass, the edge-row pass
+    # and the per-partition size table all observe the SAME range boundaries.
+    # That is NOT guaranteed by the plan alone: repartitionByRange samples
+    # its boundaries with a seed derived from the physical RDD id, so two
+    # executions of this sub-plan (exchange reuse is not promised across the
+    # three consumers, and the id shifts with session history) can pick
+    # DIFFERENT boundaries — the seam then patches boundaries the inner pass
+    # never had, silently dropping cross-boundary pairs (observed: 186 of
+    # 300k pairs on the 100k bench fixture, varying with what ran earlier in
+    # the session). A lazy localCheckpoint pins ONE materialization of the
+    # bucketed relation — every consumer reads the same blocks, so
+    # ``spark_partition_id`` is a stable data property. Cost: one
+    # materialization of the 2-column keyed relation, paid by the first
+    # action (the same pattern as operators.cc's per-round checkpoint).
+    bucketed = (
+        keyed.repartitionByRange(num_buckets, "name_norm", "rid")
+        .withColumn("part", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
 
     def _pairs_over(df: DataFrame, part_col: str) -> DataFrame:

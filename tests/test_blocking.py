@@ -127,3 +127,34 @@ def test_salted_join_equals_plain_join(spark):
     a = {tuple(r) for r in plain.select("rid1", "rid2", "n1").collect()}
     b = {tuple(r) for r in salted.select("rid1", "rid2", "n1").collect()}
     assert a == b
+
+
+def test_sorted_neighborhood_exact_in_polluted_session(spark, small_records):
+    """Regression: SN exactness must not depend on session history.
+
+    repartitionByRange samples its boundaries with a seed derived from the
+    physical RDD id, so before the localCheckpoint pin in sorted_neighborhood
+    the inner pass and the seam pass could observe DIFFERENT boundaries when
+    the exchange was not reused — reproduced as 186/300k missing pairs on the
+    bench fixture, appearing only after unrelated queries had run in the same
+    session. This test recreates that context: run a token-blocking count
+    (bumps RDD ids) over the same relation, then demand exact global SN on a
+    5k-row corpus at several bucketings.
+    """
+    from codingchallenge_spark.functions.normalize import normalize_records
+    from codingchallenge_spark.operators.blocking import (
+        sorted_neighborhood,
+        token_blocking,
+    )
+
+    norm = normalize_records(small_records).select("rid", "name_norm", "tokens")
+    token_blocking(norm, df_cap=100).count()  # pollute: advance RDD ids
+    want = _global_sn(norm, 4)
+    for buckets in (8, 32):
+        got = {
+            (p.rid1, p.rid2)
+            for p in sorted_neighborhood(
+                norm, window=4, num_buckets=buckets
+            ).collect()
+        }
+        assert got == want, f"buckets={buckets}: {len(want - got)} missing"
