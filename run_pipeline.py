@@ -14,6 +14,13 @@ Local smoke (this sandbox):
     python run_pipeline.py --master 'local[8]' \
         --input <fixture>/repo_files.parquet --run-dir /tmp/run1
 
+Incremental (delta) mode — link new records against a prior run's output
+without re-scoring the corpus (plans.incremental):
+
+    python run_pipeline.py --master 'local[8]' \
+        --input /tmp/run1/entities --delta <new>/repo_files.parquet \
+        --run-dir /tmp/run1_delta
+
 When the master comes from the spark-submit CLI instead of ``--master``,
 this script defers ALL memory sizing to spark-submit (on a cluster the
 submitter owns it) — pass ``--driver-memory`` there; spark-submit's 1g
@@ -48,6 +55,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--salt-buckets", type=int, default=0)
     ap.add_argument("--labeled-pairs", default=None,
                     help="parquet of (rid1,rid2,is_match) for the F1 gate")
+    ap.add_argument("--delta", default=None,
+                    help="delta records table/path: incremental mode — "
+                         "--input is then a RESOLVED catalog (a prior run's "
+                         "entities output), and only delta-touching pairs "
+                         "are scored (plans.incremental)")
     ap.add_argument("--master", default=None,
                     help="only for local runs; omit under spark-submit")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -65,23 +77,49 @@ def main(argv: list[str] | None = None) -> int:
         cfg_kwargs["token_df_cap"] = args.token_df_cap
     cfg = MatcherConfig(salt_buckets=args.salt_buckets, **cfg_kwargs)
 
-    records = read_records(spark, args.input, fmt=args.format)
-    run = run_pipeline(
-        spark, records, args.run_dir, cfg,
-        input_id=f"{args.format}:{args.input}", resume=args.resume,
-    )
-    n = run.entities.count()
-    summary = {
-        "rows": n,
-        "executed": run.executed,
-        "skipped": run.skipped,
-        "run_dir": run.run_dir,
-    }
+    if args.delta:
+        # Incremental mode: --input is the resolved catalog (entities table
+        # of a prior run — read raw, it carries entity_id beyond the five
+        # record columns), --delta the new records. Output is the combined
+        # entity table, materialized under <run-dir>/entities_delta.
+        from codingchallenge_spark.plans.incremental import (
+            resolve_entities_incremental,
+        )
+
+        catalog = (
+            spark.table(args.input) if args.format == "table"
+            else spark.read.format(args.format).load(args.input)
+        )
+        delta = read_records(spark, args.delta, fmt=args.format)
+        out_path = str(Path(args.run_dir) / "entities_delta")
+        resolve_entities_incremental(catalog, delta, cfg).write.mode(
+            "overwrite"
+        ).parquet(out_path)
+        entities = spark.read.parquet(out_path)
+        summary = {
+            "rows": entities.count(),
+            "executed": ["entities_delta"],
+            "skipped": [],
+            "run_dir": args.run_dir,
+        }
+    else:
+        records = read_records(spark, args.input, fmt=args.format)
+        run = run_pipeline(
+            spark, records, args.run_dir, cfg,
+            input_id=f"{args.format}:{args.input}", resume=args.resume,
+        )
+        entities = run.entities
+        summary = {
+            "rows": entities.count(),
+            "executed": run.executed,
+            "skipped": run.skipped,
+            "run_dir": run.run_dir,
+        }
     if args.labeled_pairs:
         from codingchallenge_spark.eval import pairwise_f1
 
         lp = spark.read.parquet(args.labeled_pairs)
-        m = pairwise_f1(run.entities.select("rid", "entity_id"), lp)
+        m = pairwise_f1(entities.select("rid", "entity_id"), lp)
         summary["f1"] = m.f1
         summary["precision"] = m.precision
         summary["recall"] = m.recall

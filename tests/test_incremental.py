@@ -159,3 +159,29 @@ def test_new_bridge_merges_entities(spark):
     # min-rid label over the merged component
     want = inc.agg(F.min("rid")).collect()[0][0]
     assert inc.select("entity_id").distinct().collect()[0][0] == want
+
+
+def test_delta_cli_mode(spark, split_corpus, tmp_path):
+    """run_pipeline.py --delta: catalog entities + delta records in,
+    combined entity table out, same partition as the library call."""
+    import run_pipeline as cli
+
+    old, new = split_corpus
+    catalog = resolve_entities(old, MatcherConfig())
+    cat_path = str(tmp_path / "entities")
+    catalog.write.parquet(cat_path)
+    new_path = str(tmp_path / "delta.parquet")
+    new.write.parquet(new_path)
+
+    rc = cli.main([
+        "--input", cat_path,
+        "--delta", new_path,
+        "--run-dir", str(tmp_path / "run"),
+    ])
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "run" / "entities_delta"))
+    assert out.count() == old.count() + new.count()
+    lib = resolve_entities_incremental(
+        spark.read.parquet(cat_path), new, MatcherConfig()
+    )
+    assert _partition(out) == _partition(lib)
