@@ -115,23 +115,36 @@ def incremental_token_pairs(
 
 
 def incremental_candidate_pairs(
-    work: DataFrame, cfg: MatcherConfig
+    work: DataFrame, cfg: MatcherConfig, sn: bool = True
 ) -> DataFrame:
     """Multi-pass delta blocking: restricted token pass ∪ delta-touching
     sorted-neighborhood pairs, merged through the same single-shuffle
-    meta-union as the batch matcher (identical overlap semantics)."""
+    meta-union as the batch matcher (identical overlap semantics).
+
+    ``sn=False`` drops the sorted-neighborhood pass — the one component whose
+    per-delta cost is corpus-proportional (a full union range sort). Token-
+    only incremental blocking is delta-proportional end to end (the corpus is
+    exploded and shuffled once, never sorted) at the price of the SN recall
+    path for name-similar-but-token-poor records; high-frequency ingest
+    deployments run sn=False per delta and fold an sn=True pass into the
+    periodic full re-resolution."""
     tok = incremental_token_pairs(work, df_cap=cfg.token_df_cap)
+    if not sn:
+        empty = tok.filter(F.lit(False))
+        return union_candidates_meta(
+            tok, empty, min_token_overlap=cfg.min_token_overlap
+        )
     # SN runs over the FULL union order (exact batch semantics), then keeps
     # pairs with ≥ 1 new side. The flag join shuffles the O(N·window) SN pair
     # set on rid — the same key every downstream stage shuffles on.
-    sn = sorted_neighborhood(
+    sn_pairs = sorted_neighborhood(
         work, window=cfg.sn_window, num_buckets=cfg.sn_buckets, dedupe=False
     )
     flags = work.select("rid", "is_new")
     f1 = flags.select(F.col("rid").alias("rid1"), F.col("is_new").alias("_n1"))
     f2 = flags.select(F.col("rid").alias("rid2"), F.col("is_new").alias("_n2"))
     sn_new = (
-        sn.join(f1, "rid1")
+        sn_pairs.join(f1, "rid1")
         .join(f2, "rid2")
         .filter(F.col("_n1") | F.col("_n2"))
         .select("rid1", "rid2", "block_key")
@@ -145,13 +158,16 @@ def resolve_entities_incremental(
     catalog: DataFrame,
     new_records: DataFrame,
     cfg: MatcherConfig | None = None,
+    sn: bool = True,
 ) -> DataFrame:
     """Resolve ``catalog ∪ new_records`` by linking only the delta.
 
     ``catalog`` is a prior resolve_entities / run_pipeline output (the five
     input columns + content_sha + entity_id, entity_id = min rid per
     cluster). ``new_records`` is a raw delta with the five input columns.
-    Returns the same entity-table schema over the combined corpus.
+    ``sn=False`` selects token-only delta blocking (delta-proportional cost —
+    see :func:`incremental_candidate_pairs`). Returns the same entity-table
+    schema over the combined corpus.
     """
     cfg = cfg or MatcherConfig()
     spark = catalog.sparkSession
@@ -181,7 +197,7 @@ def resolve_entities_incremental(
         F.col("rid_b").alias("rid"), "name_norm", "tokens", "th", "is_new"
     )
 
-    pairs = incremental_candidate_pairs(work, cfg)
+    pairs = incremental_candidate_pairs(work, cfg, sn=sn)
     scored = score_pairs_fused(
         pairs,
         work,
