@@ -211,3 +211,46 @@ def test_token_only_incremental(spark, split_corpus):
         joined.groupBy("old_e").agg(F.countDistinct("new_e").alias("n"))
         .filter(F.col("n") > 1).count() == 0
     )
+
+
+def test_refinement_property_across_random_splits(spark, tiny_fixture):
+    """The refinement contract must hold for ANY split, not just the module
+    fixture's: for three deterministic hash-based splits (different salts,
+    different delta fractions), batch-over-union refines incremental and
+    catalog entities never split."""
+    import hashlib
+
+    recs = tiny_fixture.records.reset_index(drop=True)
+
+    def split(salt: str, mod: int):
+        h = recs.apply(
+            lambda r: int(
+                hashlib.md5(
+                    f"{salt}|{r.repo}|{r.path}|{r.commit}".encode()
+                ).hexdigest()[:8],
+                16,
+            ) % mod == 0,
+            axis=1,
+        )
+        return spark.createDataFrame(recs[~h]), spark.createDataFrame(recs[h])
+
+    batch = resolve_entities(
+        spark.createDataFrame(recs), MatcherConfig()
+    ).cache()
+    p_batch = _partition(batch)
+    for salt, mod in [("s1", 5), ("s2", 10), ("s3", 3)]:
+        old, new = split(salt, mod)
+        catalog = resolve_entities(old, MatcherConfig())
+        inc = resolve_entities_incremental(catalog, new, MatcherConfig()).cache()
+        p_inc = _partition(inc)
+        by_rid = {rid: c for c in p_inc for rid in c}
+        for cluster in p_batch:
+            assert len({frozenset(by_rid[r]) for r in cluster}) == 1, (salt, mod)
+        # catalog never splits
+        joined = catalog.select("rid", F.col("entity_id").alias("oe")).join(
+            inc.select("rid", F.col("entity_id").alias("ne")), "rid"
+        )
+        assert (
+            joined.groupBy("oe").agg(F.countDistinct("ne").alias("n"))
+            .filter(F.col("n") > 1).count() == 0
+        ), (salt, mod)
