@@ -49,7 +49,7 @@ All shuffles run on 32-byte binary rids, like the batch pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from codingchallenge_spark.functions.normalize import (
@@ -211,10 +211,32 @@ def resolve_entities_incremental(
     # clusters stay connected by construction, and a delta edge that lands in
     # two different stars merges them transitively. entity_id ≤ rid within a
     # cluster (min-rid labels), so the canonical src < dst form is free.
+    # Guard the hex invariant rather than silently nulling: F.unhex of a
+    # malformed id returns NULL, _canon_edges would then DROP the star edge
+    # and the old entity would silently split — the exact failure mode a
+    # foreign/corrupted catalog must surface instead (same pattern as
+    # operators.scoring._hex_guarded).
+    def _hex_guarded(c: str) -> Column:
+        ok = F.col(c).rlike("^[0-9a-f]{64}$")
+        return F.when(
+            F.assert_true(
+                ok,
+                F.concat(
+                    F.lit(
+                        f"resolve_entities_incremental: catalog {c} is not "
+                        "64-char lowercase sha256 hex: "
+                    ),
+                    F.col(c),
+                ),
+            ).isNull(),
+            F.unhex(c),
+        )
+
     star = (
         labels_old.filter(F.col("rid") != F.col("entity_id"))
         .select(
-            F.unhex("entity_id").alias("src"), F.unhex("rid").alias("dst")
+            _hex_guarded("entity_id").alias("src"),
+            _hex_guarded("rid").alias("dst"),
         )
     )
     labels = connected_components(

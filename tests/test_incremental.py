@@ -254,3 +254,21 @@ def test_refinement_property_across_random_splits(spark, tiny_fixture):
             joined.groupBy("oe").agg(F.countDistinct("ne").alias("n"))
             .filter(F.col("n") > 1).count() == 0
         ), (salt, mod)
+
+
+def test_malformed_catalog_entity_id_raises(spark, split_corpus):
+    """A catalog whose entity_id is not sha256 hex must FAIL LOUDLY — a
+    silent unhex→NULL would drop the star edge and split the old entity."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    old, new = split_corpus
+    catalog = resolve_entities(old, MatcherConfig()).withColumn(
+        "entity_id",
+        F.when(F.col("rid") != F.col("entity_id"), F.lit("not-hex")).otherwise(
+            F.col("entity_id")
+        ),
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
+        resolve_entities_incremental(catalog, new, MatcherConfig()).count()
+    assert "not 64-char lowercase sha256 hex" in str(ei.value)
