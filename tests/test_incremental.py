@@ -259,9 +259,6 @@ def test_refinement_property_across_random_splits(spark, tiny_fixture):
 def test_malformed_catalog_entity_id_raises(spark, split_corpus):
     """A catalog whose entity_id is not sha256 hex must FAIL LOUDLY — a
     silent unhex→NULL would drop the star edge and split the old entity."""
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors.exceptions.captured import SparkRuntimeException
-
     old, new = split_corpus
     catalog = resolve_entities(old, MatcherConfig()).withColumn(
         "entity_id",
@@ -269,6 +266,8 @@ def test_malformed_catalog_entity_id_raises(spark, split_corpus):
             F.col("entity_id")
         ),
     )
-    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
+    # The raise surfaces as a Spark job failure whose wrapper type varies by
+    # Spark version — the load-bearing assertion is the guard's message.
+    with pytest.raises(Exception) as ei:
         resolve_entities_incremental(catalog, new, MatcherConfig()).count()
     assert "not 64-char lowercase sha256 hex" in str(ei.value)
