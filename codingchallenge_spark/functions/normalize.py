@@ -41,6 +41,29 @@ def record_id(
     return F.sha2(F.concat_ws("\x1f", F.col(repo), F.col(path), F.col(commit)), 256)
 
 
+def guarded_unhex(col: str, context: str, allow_null: bool = False) -> Column:
+    """``unhex`` with the sha256-hex invariant ASSERTED, never silently nulled.
+
+    ``F.unhex`` returns NULL for any malformed input, which downstream turns
+    into silently dropped rows (a join key that matches nothing, a canon
+    filter that discards the edge). Every rid/entity_id in this engine is
+    64-char lowercase sha256 hex BY CONSTRUCTION (:func:`record_id`), so a
+    violation means a foreign or corrupted input and must raise with the
+    offending value. ``allow_null`` tolerates NULL ids (they stay NULL);
+    the error message coalesces NULL to a printable token so assert_true
+    never raises with a NULL message.
+    """
+    ok = F.col(col).rlike("^[0-9a-f]{64}$")
+    if allow_null:
+        ok = F.col(col).isNull() | ok
+    msg = F.concat(
+        F.lit(f"{context}: {col} is not 64-char lowercase sha256 hex: "),
+        F.coalesce(F.col(col), F.lit("<null>")),
+    )
+    # assert_true returns NULL when the predicate holds, raises otherwise.
+    return F.when(F.assert_true(ok, msg).isNull(), F.unhex(col))
+
+
 def name_norm(path: str = "path") -> Column:
     """P5 — normalized name/title key from the path basename.
 

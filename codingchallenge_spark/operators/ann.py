@@ -203,9 +203,34 @@ def _lsh_buckets_jvm(
 
     Interpreted-eval higher-order fns keep this off the production path
     (sketch="arrow"); it exists so the driver's DuckDB oracle can verify
-    the whole LSH operator end-to-end."""
+    the whole LSH operator end-to-end.
+
+    Vectors without LSH evidence — NULL, empty, or off-dimension (≠ the
+    corpus's reference dim) — are EXPLICITLY excluded here, mirroring
+    minhash's documented empty-doc semantics (and the DuckDB twin, which
+    computes the same planes for one dim). The arrow path instead groups
+    null/empty vectors into a shared "empty" bucket whose degenerate
+    self-join the band cap then drops — so the two modes agree on every
+    corpus whose invalid vectors number > band_df_cap or zero; tests pin the
+    valid-vector agreement. An all-invalid (or empty) corpus yields an empty
+    bucket relation instead of a driver crash."""
     rows_per_band = n_planes // bands
-    dim = len(vecs.select(vec_col).first()[0])
+    ref = (
+        vecs.select(vec_col)
+        .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .first()
+    )
+    if ref is None:
+        # No vector carries LSH evidence: empty relation, correct schema.
+        return (
+            vecs.select(id_col, vec_col)
+            .withColumn("bucket", F.lit(0).cast("long"))
+            .filter(F.lit(False))
+        )
+    dim = len(ref[0])
+    vecs = vecs.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    )
     pm = _plane_matrix(dim, n_planes, seed)  # (dim, n_planes)
     planes = vecs.sparkSession.createDataFrame(
         [(i, [float(pm[j, i]) for j in range(dim)]) for i in range(bands * rows_per_band)],

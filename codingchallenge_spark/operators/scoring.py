@@ -431,20 +431,14 @@ def score_pairs_fused_arrow(
     # through the Arrow crossing as 32-byte binary and restore the hex form
     # on the (small) survivor set. Both conversions are codegen'd JVM
     # expressions; F.hex uppercases, so lower() restores the exact input.
-    # Guard the invariant instead of silently nulling non-hex ids: unhex
-    # returns NULL for any malformed rid, so a non-null rid that unhexes to
-    # NULL (or isn't 64 lowercase hex chars — case must round-trip) raises.
-    def _hex_guarded(c: str) -> Column:
-        ok = F.col(c).isNull() | F.col(c).rlike("^[0-9a-f]{64}$")
-        # assert_true returns NULL when the predicate holds, raises otherwise.
-        return F.when(F.assert_true(ok, F.concat(
-            F.lit(f"score_pairs_fused_arrow: {c} is not 64-char lowercase "
-                  "sha256 hex: "), F.col(c)
-        )).isNull(), F.unhex(c))
+    # guarded_unhex raises on any malformed rid instead of silently nulling
+    # it (normalize.guarded_unhex — shared with the incremental star edges).
+    from codingchallenge_spark.functions.normalize import guarded_unhex
 
-    joined = joined.withColumn("rid1", _hex_guarded("rid1")).withColumn(
-        "rid2", _hex_guarded("rid2")
-    )
+    ctx = "score_pairs_fused_arrow"
+    joined = joined.withColumn(
+        "rid1", guarded_unhex("rid1", ctx, allow_null=True)
+    ).withColumn("rid2", guarded_unhex("rid2", ctx, allow_null=True))
     out = fused_kernel(
         joined, weights=weights, threshold=threshold, rid_binary=True
     )

@@ -49,10 +49,11 @@ All shuffles run on 32-byte binary rids, like the batch pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from codingchallenge_spark.functions.normalize import (
+    guarded_unhex,
     normalize_records,
     with_token_hashes,
 )
@@ -69,9 +70,7 @@ from codingchallenge_spark.plans.matcher import MatcherConfig, emit_entities
 from codingchallenge_spark.sources.records import INPUT_COLUMNS
 
 
-def incremental_token_pairs(
-    work: DataFrame, df_cap: int, num_partitions: int | None = None
-) -> DataFrame:
+def incremental_token_pairs(work: DataFrame, df_cap: int) -> DataFrame:
     """Token pass restricted to pairs touching ≥ 1 new record.
 
     ``work`` carries [rid, tokens, is_new, ...]. Document frequencies and the
@@ -94,8 +93,6 @@ def incremental_token_pairs(
         .select("tok")
     )
     cold = tok.join(F.broadcast(hot), "tok", "left_anti")
-    if num_partitions:
-        cold = cold.repartition(num_partitions, "tok")
     new_side = cold.filter(F.col("is_new"))
     # shuffle_hash on the corpus side for the same reason as token_blocking
     # (operators/blocking.py): Catalyst under-estimates the exploded relation
@@ -214,29 +211,13 @@ def resolve_entities_incremental(
     # Guard the hex invariant rather than silently nulling: F.unhex of a
     # malformed id returns NULL, _canon_edges would then DROP the star edge
     # and the old entity would silently split — the exact failure mode a
-    # foreign/corrupted catalog must surface instead (same pattern as
-    # operators.scoring._hex_guarded).
-    def _hex_guarded(c: str) -> Column:
-        ok = F.col(c).rlike("^[0-9a-f]{64}$")
-        return F.when(
-            F.assert_true(
-                ok,
-                F.concat(
-                    F.lit(
-                        f"resolve_entities_incremental: catalog {c} is not "
-                        "64-char lowercase sha256 hex: "
-                    ),
-                    F.col(c),
-                ),
-            ).isNull(),
-            F.unhex(c),
-        )
-
+    # foreign/corrupted catalog must surface instead.
+    ctx = "resolve_entities_incremental: catalog"
     star = (
         labels_old.filter(F.col("rid") != F.col("entity_id"))
         .select(
-            _hex_guarded("entity_id").alias("src"),
-            _hex_guarded("rid").alias("dst"),
+            guarded_unhex("entity_id", ctx).alias("src"),
+            guarded_unhex("rid", ctx).alias("dst"),
         )
     )
     labels = connected_components(

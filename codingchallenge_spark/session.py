@@ -59,20 +59,37 @@ def _reap_stale_local_dirs(shm_root: Path, max_age_s: float = 86400) -> None:
 
     if not shm_root.is_dir():
         return
+    def _remove(path: Path) -> None:
+        # rmtree on a plain file raises NotADirectoryError (and with
+        # ignore_errors=True silently does NOTHING) — a stale top-level
+        # file would survive every reap forever. Dispatch on type.
+        if path.is_dir():
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            try:
+                path.unlink()
+            except OSError:
+                pass
+
     cutoff = time.time() - max_age_s
     for p in shm_root.iterdir():
         try:
+            pid = None
             if p.name.startswith("pid-"):
-                pid = int(p.name[4:])
+                try:
+                    pid = int(p.name[4:])
+                except ValueError:
+                    pid = None  # unparsable pid-* → fall through to mtime
+            if pid is not None:
                 try:
                     os.kill(pid, 0)  # raises if pid is gone
                     continue
                 except ProcessLookupError:
-                    shutil.rmtree(p, ignore_errors=True)
+                    _remove(p)
                 except PermissionError:
                     continue
             elif _tree_newest_mtime(p) < cutoff:
-                shutil.rmtree(p, ignore_errors=True)
+                _remove(p)
         except (OSError, ValueError):
             pass
 

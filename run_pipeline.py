@@ -60,6 +60,11 @@ def main(argv: list[str] | None = None) -> int:
                          "--input is then a RESOLVED catalog (a prior run's "
                          "entities output), and only delta-touching pairs "
                          "are scored (plans.incremental)")
+    ap.add_argument("--token-only", action="store_true",
+                    help="with --delta: drop the sorted-neighborhood pass "
+                         "(sn=False) — delta-proportional blocking for "
+                         "high-frequency ingest; fold SN recall into the "
+                         "periodic full re-resolution instead")
     ap.add_argument("--master", default=None,
                     help="only for local runs; omit under spark-submit")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -86,15 +91,19 @@ def main(argv: list[str] | None = None) -> int:
             resolve_entities_incremental,
         )
 
+        if args.resume:
+            # Delta mode has no stage checkpoints to resume — reject rather
+            # than silently ignore the flag.
+            ap.error("--resume has no effect in --delta mode; drop it")
         catalog = (
             spark.table(args.input) if args.format == "table"
             else spark.read.format(args.format).load(args.input)
         )
         delta = read_records(spark, args.delta, fmt=args.format)
         out_path = str(Path(args.run_dir) / "entities_delta")
-        resolve_entities_incremental(catalog, delta, cfg).write.mode(
-            "overwrite"
-        ).parquet(out_path)
+        resolve_entities_incremental(
+            catalog, delta, cfg, sn=not args.token_only
+        ).write.mode("overwrite").parquet(out_path)
         entities = spark.read.parquet(out_path)
         summary = {
             "rows": entities.count(),

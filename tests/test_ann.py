@@ -165,3 +165,29 @@ def test_lsh_sign_bit_margin(spark):
         vecs = np.array([r.embedding for r in rows], dtype=np.float64)
         dots = vecs @ _plane_matrix(vecs.shape[1], 16, 42)
         assert np.abs(dots).min() > 1e-5, (sf, np.abs(dots).min())
+
+
+def test_lsh_jvm_buckets_robust_to_invalid_vectors(spark):
+    """The JVM oracle-surface sketch must not crash on empty/degenerate
+    corpora, and must EXPLICITLY exclude vectors without LSH evidence
+    (NULL / empty / off-dimension) instead of silently nulling them."""
+    from codingchallenge_spark.operators.ann import _lsh_buckets_jvm
+
+    # empty corpus → empty bucket relation, no driver crash
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert _lsh_buckets_jvm(empty, "vec_id", "embedding", 16, 4, 7).count() == 0
+
+    # NULL-first corpus: dim comes from the first VALID vector; invalid rows
+    # (null / empty / wrong dim) are excluded, valid rows keep their buckets
+    rows = [
+        (1, None),
+        (2, []),
+        (3, [0.1, 0.2, 0.3]),
+        (4, [0.5, -0.2]),          # off-dimension
+        (5, [-0.4, 0.9, 0.05]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = _lsh_buckets_jvm(df, "vec_id", "embedding", 16, 4, 7)
+    ids = {r.vec_id for r in out.select("vec_id").distinct().collect()}
+    assert ids == {3, 5}
+    assert out.count() == 2 * 4  # one row per (valid vector, band)

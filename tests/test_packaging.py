@@ -98,7 +98,19 @@ def test_reap_stale_local_dirs(tmp_path):
     fresh = tmp_path / "blockmgr-legacy-fresh"
     fresh.mkdir()
     (fresh / "live.data").write_bytes(b"x")
+    # Unparsable pid-* names fall through to the mtime rule: a fresh one
+    # stays, a week-old one is reclaimed (it cannot prove liveness).
     (tmp_path / "pid-notanumber").mkdir()
+    pid_stale = tmp_path / "pid-stale-garbage"
+    pid_stale.mkdir()
+    os.utime(pid_stale, (old, old))
+    # Stale PLAIN FILE at the top level (foreign writer's lockfile):
+    # rmtree(file) is a silent no-op, so the reaper must unlink it.
+    stale_file = tmp_path / "foreign.lock"
+    stale_file.write_bytes(b"x")
+    os.utime(stale_file, (old, old))
+    fresh_file = tmp_path / "live.lock"
+    fresh_file.write_bytes(b"x")
 
     _reap_stale_local_dirs(tmp_path)
 
@@ -106,4 +118,7 @@ def test_reap_stale_local_dirs(tmp_path):
     assert (tmp_path / f"pid-{os.getpid()}").exists()
     assert not stale.exists()
     assert fresh.exists()
-    assert (tmp_path / "pid-notanumber").exists()  # skipped, not crashed
+    assert (tmp_path / "pid-notanumber").exists()  # fresh → kept
+    assert not pid_stale.exists()  # unparsable + stale → reclaimed
+    assert not stale_file.exists()  # stale plain file → unlinked
+    assert fresh_file.exists()
