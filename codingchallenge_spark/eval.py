@@ -34,8 +34,12 @@ class PairwiseMetrics:
         return 2 * p * r / (p + r) if (p + r) else 0.0
 
 
-def pairwise_f1(labels: DataFrame, labeled_pairs: DataFrame) -> PairwiseMetrics:
-    """labels[rid, entity_id] × labeled_pairs[rid1, rid2, is_match] → P/R/F1."""
+def pairwise_f1_df(labels: DataFrame, labeled_pairs: DataFrame) -> DataFrame:
+    """Distributed form of :func:`pairwise_f1`: one-row DataFrame
+    [tp, fp, fn, tn, precision, recall, f1] (counts bigint, rates double,
+    same zero-denominator conventions as :class:`PairwiseMetrics`). The
+    driver-checked q_pairwise_f1 query (plans.query_pack) runs THIS plan;
+    :func:`pairwise_f1` collects it — one implementation, two surfaces."""
     l1 = labels.select(
         F.col("rid").alias("rid1"), F.col("entity_id").alias("e1")
     )
@@ -52,12 +56,33 @@ def pairwise_f1(labels: DataFrame, labeled_pairs: DataFrame) -> PairwiseMetrics:
             & (F.col("e1") == F.col("e2")),
         )
     )
-    agg = joined.agg(
+    cnt = joined.agg(
         F.sum(F.when(F.col("pred") & F.col("is_match"), 1).otherwise(0)).alias("tp"),
         F.sum(F.when(F.col("pred") & ~F.col("is_match"), 1).otherwise(0)).alias("fp"),
         F.sum(F.when(~F.col("pred") & F.col("is_match"), 1).otherwise(0)).alias("fn"),
         F.sum(F.when(~F.col("pred") & ~F.col("is_match"), 1).otherwise(0)).alias("tn"),
-    ).collect()[0]
+    ).select(*[F.coalesce(c, F.lit(0)).alias(c) for c in ("tp", "fp", "fn", "tn")])
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    pr = cnt.withColumns(
+        {
+            "precision": F.when(tp + fp == 0, F.lit(1.0)).otherwise(
+                tp.cast("double") / (tp + fp)
+            ),
+            "recall": F.when(tp + fn == 0, F.lit(1.0)).otherwise(
+                tp.cast("double") / (tp + fn)
+            ),
+        }
+    )
+    p, r = F.col("precision"), F.col("recall")
+    return pr.withColumn(
+        "f1",
+        F.when(p + r == 0, F.lit(0.0)).otherwise(F.lit(2.0) * p * r / (p + r)),
+    ).select("tp", "fp", "fn", "tn", "precision", "recall", "f1")
+
+
+def pairwise_f1(labels: DataFrame, labeled_pairs: DataFrame) -> PairwiseMetrics:
+    """labels[rid, entity_id] × labeled_pairs[rid1, rid2, is_match] → P/R/F1."""
+    row = pairwise_f1_df(labels, labeled_pairs).collect()[0]
     return PairwiseMetrics(
-        tp=int(agg.tp or 0), fp=int(agg.fp or 0), fn=int(agg.fn or 0), tn=int(agg.tn or 0)
+        tp=int(row.tp), fp=int(row.fp), fn=int(row.fn), tn=int(row.tn)
     )

@@ -215,9 +215,17 @@ def _lsh_buckets_jvm(
     valid-vector agreement. An all-invalid (or empty) corpus yields an empty
     bucket relation instead of a driver crash."""
     rows_per_band = n_planes // bands
+    # Reference dim is picked from the min-id valid vector — deterministic
+    # regardless of partition order (an arbitrary first() would make WHICH
+    # dim survives on a mixed-dimension corpus depend on scan order). The
+    # JVM twin is single-dim by design: off-dim vectors are excluded below,
+    # while the arrow path builds per-dim plane matrices and buckets all of
+    # them — use sketch="arrow" on genuinely mixed-dim corpora.
     ref = (
-        vecs.select(vec_col)
+        vecs.select(id_col, vec_col)
         .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .orderBy(id_col)
+        .select(vec_col)
         .first()
     )
     if ref is None:

@@ -130,6 +130,13 @@ def sorted_neighborhood(
     # ``spark_partition_id`` is a stable data property. Cost: one
     # materialization of the 2-column keyed relation, paid by the first
     # action (the same pattern as operators.cc's per-round checkpoint).
+    # Fault-tolerance tradeoff: localCheckpoint stores NON-replicated
+    # executor-local blocks with lineage truncated — on a real cluster an
+    # executor lost between the three consumers fails the job unrecoverably.
+    # A deployment on flaky hardware should swap this for a replicated
+    # persist (StorageLevel.MEMORY_AND_DISK_2) or a reliable checkpoint to
+    # the cluster FS; the determinism requirement is "one pinned
+    # materialization", not this specific storage mechanism.
     bucketed = (
         keyed.repartitionByRange(num_buckets, "name_norm", "rid")
         .withColumn("part", F.spark_partition_id())

@@ -173,9 +173,13 @@ def resolve_entities_incremental(
     labels_old = catalog.select("rid", "entity_id")
     # Idempotent ingest: delta rows whose natural key already exists in the
     # catalog are dropped (the catalog row wins). rid is derived from the
-    # natural key, so one left_anti on rid is the whole check.
-    norm_new = normalize_records(new_records.select(*INPUT_COLUMNS)).join(
-        labels_old.select("rid"), "rid", "left_anti"
+    # natural key, so one left_anti on rid is the whole check. The same key
+    # deduped WITHIN the batch too: one delta replaying a row twice (same
+    # repo/path/commit) must not emit duplicate rid rows.
+    norm_new = (
+        normalize_records(new_records.select(*INPUT_COLUMNS))
+        .dropDuplicates(["rid"])
+        .join(labels_old.select("rid"), "rid", "left_anti")
     )
     norm_old = normalize_records(catalog.select(*INPUT_COLUMNS))
     norm = (

@@ -303,26 +303,29 @@ SQL_DOUBLE_JOIN = (
 )
 
 
-def q_semi_join(spark, sf_dir):
+def q_semi_anti_join(spark, sf_dir):
+    # J4 left-semi + left-anti in one tagged query (merged like
+    # q_multi_dim_agg — frees a slot of the driver's 50-query window for
+    # q_pairwise_f1 while keeping both join types hash-verified).
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("tag"), "c_custkey")
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("tag"), "c_custkey")
+    )
+    return semi.unionByName(anti)
 
 
-SQL_SEMI_JOIN = (
-    "SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)"
-)
-
-
-def q_anti_join(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
-
-
-SQL_ANTI_JOIN = (
-    "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
-    "(SELECT o_custkey FROM orders)"
+SQL_SEMI_ANTI_JOIN = (
+    "SELECT 'semi' AS tag, c_custkey FROM customer "
+    "WHERE c_custkey IN (SELECT o_custkey FROM orders) "
+    "UNION ALL "
+    "SELECT 'anti' AS tag, c_custkey FROM customer "
+    "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
 )
 
 
@@ -982,12 +985,31 @@ SQL_MEDIA_FEATURES = (
 # ---------------------------------------------------------------------------
 
 def q_approx_count_distinct(spark, sf_dir):
-    # HLL sketch — DuckDB's approx_count_distinct uses a different sketch →
-    # rows-only for the driver; the 5%-relative-error bound vs the exact
-    # count is asserted in tests/test_query_pack.py.
-    return _t(spark, sf_dir, "lineitem").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    # HLL sketch values can't hash-match DuckDB's (different sketch), but a
+    # DERIVED check can: emit the exact distinct count plus the boolean
+    # |approx − exact| / exact ≤ 0.05 — the pytest error bound
+    # (tests/test_query_pack.py) promoted into the driver artifact. The
+    # oracle computes the same exact count and asserts the bound as TRUE, so
+    # a sketch drifting past 5% hash-mismatches instead of going unrecorded.
+    agg = _t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("_approx"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    return agg.select(
+        "exact_parts",
+        (
+            F.abs(F.col("_approx") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("within_5pct"),
+    )
+
+
+SQL_APPROX_COUNT_DISTINCT = (
+    # The exact side of the derived check; TRUE mirrors the 5% HLL bound the
+    # Spark side computes (see q_approx_count_distinct).
+    "SELECT count(DISTINCT l_partkey) AS exact_parts, true AS within_5pct "
+    "FROM lineitem"
+)
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -1115,8 +1137,10 @@ def q_er_entities(spark, sf_dir):
     return resolve_entities(recs, cfg).select("rid", "entity_id", "content_sha")
 
 
-def _er_entities_sql() -> str:
-    """DuckDB twin of the full matcher at threshold 0.75.
+def _er_cte_body() -> str:
+    """Shared CTE chain (through the min-label ``labels`` CTE) of the two
+    matcher-twin SQL strings: SQL_ER_ENTITIES appends the entity emit,
+    SQL_PAIRWISE_F1 appends the labeled-pair/F1 derivation.
 
     Stage-by-stage mirror of plans.matcher.resolve_entities: the derived
     records view (sources.records.documents_as_records), normalize
@@ -1203,12 +1227,87 @@ reach(src, dst) AS (
   SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
 ),
 labels AS (SELECT src AS rid, MIN(dst) AS entity_id FROM reach GROUP BY src)
-SELECT n.rid, l.entity_id, n.content_sha
-FROM norm n JOIN labels l ON l.rid = n.rid
 """
 
 
-SQL_ER_ENTITIES = _er_entities_sql()
+SQL_ER_ENTITIES = _er_cte_body() + (
+    "SELECT n.rid, l.entity_id, n.content_sha "
+    "FROM norm n JOIN labels l ON l.rid = n.rid"
+)
+
+
+def q_pairwise_f1(spark, sf_dir):
+    # E1 on the driver oracle: pairwise precision/recall/F1 of the flagship
+    # entity partition against a deterministic labeled-pairs derivation —
+    # labeled same-block pairs (the spec metric, BASELINE.json:2) are the
+    # sorted-neighborhood window pairs over the normalized name order
+    # (window=4, exactly the flagship SN pass), labeled is_match = content
+    # sha256 equality (exact-duplicate truth, derivable identically in SQL).
+    # The arithmetic is eval.pairwise_f1_df — the SAME plan run_pipeline's
+    # --labeled-pairs gate collects — so the spec's headline metric is
+    # hash-checked end to end, not just pytest-bounded.
+    from codingchallenge_spark.eval import pairwise_f1_df
+    from codingchallenge_spark.functions.normalize import normalize_records
+    from codingchallenge_spark.operators.blocking import sorted_neighborhood
+    from codingchallenge_spark.plans.matcher import MatcherConfig, resolve_entities
+    from codingchallenge_spark.sources.records import documents_as_records
+
+    recs = documents_as_records(spark, sf_dir)
+    norm = normalize_records(recs)  # hex rids: same SN order as binary
+    sn = sorted_neighborhood(norm.select("rid", "name_norm"), window=4)
+    sha = norm.select("rid", "content_sha")
+    s1 = sha.select(F.col("rid").alias("rid1"), F.col("content_sha").alias("_s1"))
+    s2 = sha.select(F.col("rid").alias("rid2"), F.col("content_sha").alias("_s2"))
+    labeled = (
+        sn.join(s1, "rid1")
+        .join(s2, "rid2")
+        .select("rid1", "rid2", (F.col("_s1") == F.col("_s2")).alias("is_match"))
+    )
+    labels = resolve_entities(recs, MatcherConfig(threshold=0.75)).select(
+        "rid", "entity_id"
+    )
+    m = pairwise_f1_df(labels, labeled)
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+SQL_PAIRWISE_F1 = _er_cte_body() + (
+    # Labeled pairs: the body's sn_pairs CTE (same SN window derivation the
+    # Spark side reuses via operators.blocking.sorted_neighborhood), truth =
+    # content_sha equality; prediction = same min-label entity. Counts cast
+    # to BIGINT (DuckDB SUM yields HUGEINT); rates rounded like the Spark
+    # side. Zero-denominator conventions mirror eval.PairwiseMetrics.
+    ", lp AS ("
+    "  SELECT s.rid1, s.rid2, (n1.content_sha = n2.content_sha) AS is_match"
+    "  FROM sn_pairs s"
+    "  JOIN norm n1 ON n1.rid = s.rid1 JOIN norm n2 ON n2.rid = s.rid2"
+    "), pred AS ("
+    "  SELECT lp.is_match, (l1.entity_id = l2.entity_id) AS pred"
+    "  FROM lp JOIN labels l1 ON l1.rid = lp.rid1"
+    "  JOIN labels l2 ON l2.rid = lp.rid2"
+    "), cnt AS ("
+    "  SELECT"
+    "    (COUNT(*) FILTER (WHERE pred AND is_match))::BIGINT AS tp,"
+    "    (COUNT(*) FILTER (WHERE pred AND NOT is_match))::BIGINT AS fp,"
+    "    (COUNT(*) FILTER (WHERE NOT pred AND is_match))::BIGINT AS fn,"
+    "    (COUNT(*) FILTER (WHERE NOT pred AND NOT is_match))::BIGINT AS tn"
+    "  FROM pred"
+    "), pr AS ("
+    "  SELECT tp, fp, fn, tn,"
+    "    CASE WHEN tp + fp = 0 THEN 1.0 ELSE tp::DOUBLE / (tp + fp) END AS p,"
+    "    CASE WHEN tp + fn = 0 THEN 1.0 ELSE tp::DOUBLE / (tp + fn) END AS r"
+    "  FROM cnt) "
+    "SELECT tp, fp, fn, tn, round(p, 6) AS precision, round(r, 6) AS recall, "
+    "round(CASE WHEN p + r = 0 THEN 0.0 ELSE 2.0 * p * r / (p + r) END, 6) "
+    "AS f1 FROM pr"
+)
 
 
 def q_simhash64(spark, sf_dir):
@@ -1250,20 +1349,26 @@ SQL_SIMHASH64 = (
 
 # Registration order is the driver's execution order. CORRECTNESS_r01
 # recorded exactly the first 50 registered queries and silently dropped the
-# rest, so (a) the registry is kept BELOW that window (49 entries — merged
+# rest, so (a) the registry is kept AT that window (50 entries — merged
 # q_least_greatest→q_math_expr, q_lev_ratio→q_levenshtein,
 # q_intersect/q_except→q_intersect_except, q_rollup/q_cube/q_grouping_sets→
-# q_multi_dim_agg), and (b) the flagship + the entries that went unrecorded
-# in round 1 are registered first, right after one cheap smoke scan.
+# q_multi_dim_agg, and in round 4 q_semi_join/q_anti_join→q_semi_anti_join
+# to make room for q_pairwise_f1, the spec's headline metric), and (b) the
+# flagship + the entries that went unrecorded in round 1 are registered
+# first, right after one cheap smoke scan.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q_scan_project": (q_scan_project, SQL_SCAN_PROJECT),
     # flagship + previously-unrecorded entries (front-loaded)
     "q_er_entities": (q_er_entities, SQL_ER_ENTITIES),
+    "q_pairwise_f1": (q_pairwise_f1, SQL_PAIRWISE_F1),
     "q_simhash64": (q_simhash64, SQL_SIMHASH64),
     "q_ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "q_ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "q_media_features": (q_media_features, SQL_MEDIA_FEATURES),
-    "q_approx_count_distinct": (q_approx_count_distinct, None),
+    "q_approx_count_distinct": (
+        q_approx_count_distinct,
+        SQL_APPROX_COUNT_DISTINCT,
+    ),
     # relational core
     "q_filter_pushdown": (q_filter_pushdown, SQL_FILTER),
     "q_sha256": (q_sha256, SQL_SHA256),
@@ -1280,8 +1385,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_equi_join": (q_equi_join, SQL_EQUI_JOIN),
     "q_broadcast_join": (q_broadcast_join, SQL_BROADCAST_JOIN),
     "q_double_join_agg": (q_double_join_agg, SQL_DOUBLE_JOIN),
-    "q_semi_join": (q_semi_join, SQL_SEMI_JOIN),
-    "q_anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "q_semi_anti_join": (q_semi_anti_join, SQL_SEMI_ANTI_JOIN),
     "q_union_distinct": (q_union_distinct, SQL_UNION_DISTINCT),
     "q_intersect_except": (q_intersect_except, SQL_INTERSECT_EXCEPT),
     "q_groupby_agg": (q_groupby_agg, SQL_GROUPBY_AGG),

@@ -80,6 +80,11 @@ def _reap_stale_local_dirs(shm_root: Path, max_age_s: float = 86400) -> None:
                     pid = int(p.name[4:])
                 except ValueError:
                     pid = None  # unparsable pid-* → fall through to mtime
+                if pid is not None and pid <= 0:
+                    # os.kill(0/negative, 0) probes the process GROUP and
+                    # always succeeds — a foreign "pid-0" entry would be
+                    # kept forever. Treat as unparsable → mtime rule.
+                    pid = None
             if pid is not None:
                 try:
                     os.kill(pid, 0)  # raises if pid is gone

@@ -69,6 +69,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="only for local runs; omit under spark-submit")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args(argv)
+    if args.token_only and not args.delta:
+        # Same validation posture as --resume-in-delta-mode below: reject a
+        # flag that would otherwise be silently ignored.
+        ap.error("--token-only only applies with --delta; drop it")
 
     spark = build_session(
         app_name="codingchallenge-pipeline",
