@@ -96,6 +96,44 @@ def token_blocking(
     return pairs
 
 
+def _nbrs_array(w, window: int):
+    """Array of the ``window - 1`` successor (rid, key) structs over window
+    spec ``w`` — the SN neighbor column."""
+    cols = []
+    for i in range(1, window):
+        cols.append(
+            F.struct(
+                F.lead("rid", i).over(w).alias("rid2"),
+                F.lead("name_norm", i).over(w).alias("key2"),
+            ).alias(f"n{i}")
+        )
+    return F.array(*cols)
+
+
+def _explode_nbrs(df: DataFrame) -> DataFrame:
+    """[rid, name_norm, nbrs] → SN pair rows [rid1, rid2, block_key]."""
+    exploded = df.select(
+        "rid", "name_norm", F.explode("nbrs").alias("n")
+    ).filter(F.col("n.rid2").isNotNull())
+    return exploded.select(
+        F.col("rid").alias("rid1"),
+        F.col("n.rid2").alias("rid2"),
+        F.concat(F.lit("sn:"), F.col("name_norm")).alias("block_key"),
+    )
+
+
+def sn_window_pairs(df: DataFrame, part_col: str, window: int) -> DataFrame:
+    """Pair every row with its ``window - 1`` successors in (name_norm, rid)
+    order WITHIN each ``part_col`` group — the SN pairing kernel shared by
+    :func:`sorted_neighborhood` (seam pass) and the delta SN path
+    (plans.incremental windows gap-free stretches of the candidate set with
+    the same kernel). ``df`` needs [rid, name_norm, part_col]."""
+    w = Window.partitionBy(part_col).orderBy("name_norm", "rid")
+    return _explode_nbrs(
+        df.select("rid", "name_norm", _nbrs_array(w, window).alias("nbrs"))
+    )
+
+
 def sorted_neighborhood(
     records_norm: DataFrame,
     window: int = DEFAULT_SN_WINDOW,
@@ -137,62 +175,52 @@ def sorted_neighborhood(
     # persist (StorageLevel.MEMORY_AND_DISK_2) or a reliable checkpoint to
     # the cluster FS; the determinism requirement is "one pinned
     # materialization", not this specific storage mechanism.
-    bucketed = (
+    #
+    # ONE window pass: the neighbor structs (the SN output itself) and the
+    # ascending row number ride the same Window spec → one sort of the
+    # bucketed relation, inside the pinned materialization. Round 3 pinned
+    # the 2-column keyed relation and paid three window sorts over it
+    # (inner-pairs lead, rn ascending, rn descending); the descending number
+    # is n − rn_a + 1 from the per-partition size table the seam already
+    # builds, and pinning AFTER the window makes every consumer read the
+    # sorted+windowed blocks — measured ≥25% off the blocking stage at both
+    # 8/32 cores (BENCH/BASELINE.md round-4 note).
+    wp = Window.partitionBy("part").orderBy("name_norm", "rid")
+    base = (
         keyed.repartitionByRange(num_buckets, "name_norm", "rid")
         .withColumn("part", F.spark_partition_id())
+        .select(
+            "rid",
+            "name_norm",
+            "part",
+            _nbrs_array(wp, window).alias("nbrs"),
+            F.row_number().over(wp).alias("rn_a"),
+        )
         .localCheckpoint(eager=False)
     )
 
-    def _pairs_over(df: DataFrame, part_col: str) -> DataFrame:
-        w = Window.partitionBy(part_col).orderBy("name_norm", "rid")
-        cols = []
-        for i in range(1, window):
-            cols.append(
-                F.struct(
-                    F.lead("rid", i).over(w).alias("rid2"),
-                    F.lead("name_norm", i).over(w).alias("key2"),
-                ).alias(f"n{i}")
-            )
-        exploded = (
-            df.select("rid", "name_norm", F.array(*cols).alias("nbrs"))
-            .select("rid", "name_norm", F.explode("nbrs").alias("n"))
-            .filter(F.col("n.rid2").isNotNull())
-        )
-        return exploded.select(
-            F.col("rid").alias("rid1"),
-            F.col("n.rid2").alias("rid2"),
-            F.concat(F.lit("sn:"), F.col("name_norm")).alias("block_key"),
-        )
-
-    inner = _pairs_over(bucketed, "part")
+    inner = _explode_nbrs(base)
 
     # Seam pass: recover pairs that cross range-partition boundaries. Edge
     # rows = first/last `window` rows of each partition (≤ 2·window·buckets
-    # rows total). Any true global pair (distance < window) that crosses a
-    # boundary lies entirely inside the edge set AND inside one gap-free
-    # stretch of it: the edge set, read in global (name_norm, rid) order, is
-    # globally contiguous except where a partition with > 2·window rows jumps
-    # from its head block to its tail block. Windowing by ``gap_id`` (stretch
+    # rows total; tail test: rn_a > n − window ⟺ descending rank ≤ window).
+    # Any true global pair (distance < window) that crosses a boundary lies
+    # entirely inside the edge set AND inside one gap-free stretch of it:
+    # the edge set, read in global (name_norm, rid) order, is globally
+    # contiguous except where a partition with > 2·window rows jumps from
+    # its head block to its tail block. Windowing by ``gap_id`` (stretch
     # index) therefore yields EXACTLY the missing global pairs — no spurious
     # head→tail pairs (they'd cross a gap), no constant-partition window
     # (gap_id is a data-derived column, so Catalyst can't fold it away).
     # This makes bucketed SN output identical to single-sort global SN — which
     # is what the flagship's DuckDB oracle (plain lead() over one ORDER BY)
     # computes.
-    wp = Window.partitionBy("part").orderBy("name_norm", "rid")
-    wpd = Window.partitionBy("part").orderBy(
-        F.col("name_norm").desc(), F.col("rid").desc()
-    )
-    flagged = bucketed.withColumn("rn_a", F.row_number().over(wp)).withColumn(
-        "rn_d", F.row_number().over(wpd)
-    )
-    edges = flagged.filter((F.col("rn_a") <= window) | (F.col("rn_d") <= window))
-
+    #
     # Tiny per-partition size table (≤ num_buckets rows): a partition is
     # "gapped" iff interior rows were dropped (n > 2·window). gaps_before =
     # number of gapped partitions preceding it (non-equi self-join over the
     # metadata-sized table — no window, no cumsum over a constant partition).
-    parts = bucketed.groupBy("part").agg(F.count("*").alias("n"))
+    parts = base.groupBy("part").agg(F.count("*").alias("n"))
     prior = parts.select(
         F.col("part").alias("q"), (F.col("n") > 2 * window).cast("long").alias("g")
     )
@@ -201,17 +229,24 @@ def sorted_neighborhood(
         .groupBy("part", "n")
         .agg(F.coalesce(F.sum("g"), F.lit(0)).alias("gaps_before"))
     )
-    seam_rows = edges.join(F.broadcast(gaps_before), "part").select(
-        "rid",
-        "name_norm",
-        (
-            F.col("gaps_before")
-            + F.when(
-                (F.col("n") > 2 * window) & (F.col("rn_a") > window), F.lit(1)
-            ).otherwise(F.lit(0))
-        ).alias("gap_id"),
+    seam_rows = (
+        base.join(F.broadcast(gaps_before), "part")
+        .filter(
+            (F.col("rn_a") <= window) | (F.col("rn_a") > F.col("n") - window)
+        )
+        .select(
+            "rid",
+            "name_norm",
+            (
+                F.col("gaps_before")
+                + F.when(
+                    (F.col("n") > 2 * window) & (F.col("rn_a") > window),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("gap_id"),
+        )
     )
-    seam = _pairs_over(seam_rows, "gap_id")
+    seam = sn_window_pairs(seam_rows, "gap_id", window)
 
     return canonical_pairs(inner.unionByName(seam), dedupe=dedupe)
 

@@ -5,25 +5,43 @@ Production motivation (BASELINE.json:6's 10^12-file clause): a corpus that
 size is never re-resolved from scratch for a day's ingest. The batch matcher
 (plans.matcher.resolve_entities) costs a full token self-join whose pair
 volume is quadratic in block size; the delta form below scores ONLY pairs
-that touch at least one new record, seeds transitive closure with the
-catalog's existing star edges, and converges in O(1) extra CC rounds — the
-per-delta cost is one corpus token-df pass + one (delta × corpus) bucketed
-join instead of a (corpus × corpus) self-join.
+that touch at least one new record, seeds transitive closure with the star
+edges of the (few) catalog entities those pairs touch, and converges in O(1)
+extra CC rounds.
 
-Semantics (documented contract, tested in tests/test_incremental.py):
+Two cost regimes, selected by the ``state`` argument:
 
-- **Old entities never split.** The catalog's (entity_id → rid) star edges
-  are part of the CC input, so every existing cluster stays connected no
-  matter what the delta contains.
+- ``state=None`` (self-contained): the catalog is re-normalized and token
+  document frequencies recomputed per delta — corpus-linear passes, correct
+  but wrong for high-frequency ingest.
+- ``state=CatalogState`` (plans.catalog_state — the production path): the
+  catalog run's PERSISTED normalize/th stage is reused (no content is ever
+  re-normalized), document frequencies are maintained incrementally
+  (df' = df + delta counts, exact), and the sorted-neighborhood pass range-
+  joins delta keys into the persisted (name_norm, rid) key index instead of
+  re-sorting the union corpus. Remaining corpus-proportional work: one
+  narrow columnar scan of the catalog's token arrays filtered to the
+  delta's token set (no shuffle — broadcast probe; an inverted tok→rid
+  index partition-pruned by token hash would remove even that), and the
+  final full-table emit when ``emit="full"`` (use ``emit="delta"`` to emit
+  only new + possibly-relabeled rows, i.e. an upsert set).
+
+Semantics (documented contract, tested in tests/test_incremental.py and
+tests/test_incremental_state.py):
+
+- **Old entities never split.** The star edges of every catalog entity
+  touched by a delta edge are part of the CC input, so touched clusters
+  stay connected; untouched clusters keep their catalog label verbatim.
 - **Entities merge only through new-record bridges.** A new record that
   matches members of two different catalog entities joins them into one
-  (entity_id = global min rid, unchanged label semantics).
+  (entity_id = global min rid over the merged component).
 - **Delta-touching pairs are scored exactly as the batch matcher would.**
   Token document frequencies (the hot-key cap) are computed over the FULL
-  union corpus and the sorted-neighborhood pass runs over the full union
-  order, so the candidate set equals the batch run's candidate set
-  restricted to pairs with ≥ 1 new side — same blocking keys, same
-  meta-blocking overlap counts, same kernels, same threshold.
+  union corpus and the sorted-neighborhood pass reproduces the full union
+  sort order (with state: analytically, via the key index — provably the
+  same pair set, see delta_sn_pairs), so the candidate set equals the batch
+  run's candidate set restricted to pairs with ≥ 1 new side — same blocking
+  keys, same meta-blocking overlap counts, same kernels, same threshold.
 - **Relation to a from-scratch batch run** (tests assert both directions on
   the driver corpus): the incremental partition is the batch partition of
   the union corpus, *coarsened* by any old-old merges the catalog already
@@ -34,22 +52,16 @@ Semantics (documented contract, tested in tests/test_incremental.py):
   neighbors closer, dfs never shrink), i.e. the batch partition refines the
   incremental one; on corpora without such crossings they are identical.
 - **Idempotent ingest.** Delta rows whose rid (sha256 of repo/path/commit —
-  functions.normalize.record_id) already exists in the catalog are ignored;
-  the catalog row wins.
+  functions.normalize.record_id) already exists in the catalog are ignored
+  (the catalog row wins), and duplicate rids WITHIN one delta batch are
+  collapsed before linking.
 
-Scale shape: the delta side of the token join is small by assumption; the
-corpus side is exploded once and shuffled once on token (shuffle_hash-hinted
-— the same Catalyst mis-broadcast class as operators.blocking.token_blocking,
-gated in tests/test_plan_quality.py). The SN pass pays one full-corpus range
-sort per delta — the documented cost of exact union-order semantics (a
-deployment that ingests continuously would maintain the sorted key order as
-a sorted/bucketed table instead; the pair semantics here are the contract).
 All shuffles run on 32-byte binary rids, like the batch pipeline.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from codingchallenge_spark.functions.normalize import (
@@ -58,6 +70,8 @@ from codingchallenge_spark.functions.normalize import (
     with_token_hashes,
 )
 from codingchallenge_spark.operators.blocking import (
+    canonical_pairs,
+    sn_window_pairs,
     sorted_neighborhood,
     union_candidates_meta,
 )
@@ -66,12 +80,14 @@ from codingchallenge_spark.operators.scoring import (
     edges_from_scores,
     score_pairs_fused,
 )
+from codingchallenge_spark.plans.catalog_state import CatalogState, build_token_df
 from codingchallenge_spark.plans.matcher import MatcherConfig, emit_entities
 from codingchallenge_spark.sources.records import INPUT_COLUMNS
 
 
 def incremental_token_pairs(work: DataFrame, df_cap: int) -> DataFrame:
-    """Token pass restricted to pairs touching ≥ 1 new record.
+    """Token pass restricted to pairs touching ≥ 1 new record (self-
+    contained form: document frequencies recomputed over the full union).
 
     ``work`` carries [rid, tokens, is_new, ...]. Document frequencies and the
     hot-token cap are computed over the FULL corpus — identical cold-token set
@@ -111,20 +127,330 @@ def incremental_token_pairs(work: DataFrame, df_cap: int) -> DataFrame:
     return pairs
 
 
+def incremental_token_pairs_state(
+    state: CatalogState, work_new: DataFrame, df_cap: int
+) -> DataFrame:
+    """Token pass using the MAINTAINED document-frequency relation.
+
+    Same pair multiset as :func:`incremental_token_pairs` over the union
+    corpus (tested equal): the hot set is derived from
+    df_union = state.token_df + delta counts — exact, because tokenize emits
+    distinct tokens per record and catalog/delta rid sets are disjoint — and
+    the catalog side of the join is the persisted token arrays filtered to
+    the delta's cold-token set BEFORE the exchange (broadcast probe: tokens
+    absent from the delta can produce no delta-touching pair). The catalog's
+    content column is never read, nothing corpus-sized is re-aggregated.
+    """
+    tok_new = work_new.select("rid", F.explode("tokens").alias("tok"))
+    df_new = tok_new.groupBy("tok").agg(F.count("*").alias("dfn"))
+    # Hot set over the UNION dfs. Only tokens the delta touches can matter
+    # to the join below, but the hot list must still be union-wide correct
+    # for those tokens — the full-outer keeps catalog-only tokens out of the
+    # broadcast by post-filtering on delta presence.
+    hot = (
+        state.token_df.join(df_new, "tok", "full_outer")
+        .filter(
+            (F.coalesce("df", F.lit(0)) + F.coalesce("dfn", F.lit(0))) > df_cap
+        )
+        .filter(F.col("dfn").isNotNull())  # only delta-present tokens join
+        .select("tok")
+    )
+    new_cold = tok_new.join(F.broadcast(hot), "tok", "left_anti").withColumn(
+        "is_new", F.lit(True)
+    )
+    delta_toks = new_cold.select("tok").distinct()
+    old_cold = (
+        state.norm.select(F.col("rid_b").alias("rid"), "tokens")
+        .select("rid", F.explode("tokens").alias("tok"))
+        .join(F.broadcast(delta_toks), "tok")
+        .withColumn("is_new", F.lit(False))
+    )
+    b_side = old_cold.unionByName(new_cold)
+    a, b = new_cold.alias("a"), b_side.hint("shuffle_hash").alias("b")
+    return (
+        a.join(b, "tok")
+        .filter((~F.col("b.is_new")) | (F.col("a.rid") < F.col("b.rid")))
+        .select(
+            F.least(F.col("a.rid"), F.col("b.rid")).alias("rid1"),
+            F.greatest(F.col("a.rid"), F.col("b.rid")).alias("rid2"),
+            F.col("tok").alias("block_key"),
+        )
+    )
+
+
+def _delta_sn_candidates(
+    state: CatalogState, delta_keys: DataFrame, window: int
+) -> DataFrame:
+    """The delta-proportional candidate set S for the sorted-catalog SN pass:
+    delta keys ∪ catalog rows within ``window - 1`` catalog positions of any
+    delta insertion point. Returns [rid, name_norm, is_new, left, right]
+    where [left, right] encode the merged-order gap rule (see
+    :func:`delta_sn_pairs`). Exposed for the delta-proportionality test
+    (|S| ≤ |delta| · (2·window − 1))."""
+    # sn_bounds may be DERIVED from sn_index (catalog_state.bounds_from_index)
+    # — re-alias every bounds column to a fresh name so the joins below are
+    # never ambiguous self-joins against the index.
+    bounds = state.sn_bounds.select(
+        F.col("bucket").alias("_bb"),
+        F.col("n").alias("_bn"),
+        F.col("start_pos").alias("_bstart"),
+        F.col("min_name").alias("_bmn"),
+        F.col("min_rid").alias("_bmr"),
+    )
+    # Struct comparison needs identical field names/types on both sides.
+    k = F.struct(F.col("name_norm").alias("kn"), F.col("rid").alias("kr"))
+    bmin = F.struct(F.col("_bmn").alias("kn"), F.col("_bmr").alias("kr"))
+    # Containing bucket: max bucket whose min key ≤ k; keys below every
+    # bucket minimum fall into the first bucket (ins lands at 0 there).
+    assigned = (
+        delta_keys.join(F.broadcast(bounds), bmin <= k, "left")
+        .groupBy(delta_keys["rid"], delta_keys["name_norm"])
+        .agg(F.max("_bb").alias("_ab"))
+        .join(
+            F.broadcast(bounds.agg(F.min("_bb").alias("_fb"))),
+        )
+        .select(
+            "rid", "name_norm", F.coalesce("_ab", F.col("_fb")).alias("bucket")
+        )
+    )
+    touched = assigned.select("bucket").distinct()
+    idx_t = state.sn_index.join(
+        F.broadcast(touched.withColumnRenamed("bucket", "_tb")),
+        F.col("bucket") == F.col("_tb"),
+    ).drop("_tb")
+    u = idx_t.select(
+        "bucket", "rid", "name_norm", "pos", F.lit(False).alias("is_new")
+    ).unionByName(
+        assigned.select(
+            "bucket",
+            "rid",
+            "name_norm",
+            F.lit(None).cast("long").alias("pos"),
+            F.lit(True).alias("is_new"),
+        )
+    )
+    w = Window.partitionBy("bucket").orderBy("name_norm", "rid")
+    ranked = u.withColumn("_r", F.row_number().over(w)).withColumn(
+        "_j",
+        F.sum(F.col("is_new").cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # ins = global # catalog keys < k = (bucket start − 1) + old rows before
+    # k within its bucket. Exact for any bucket balance: start offsets come
+    # from real counts (catalog_state.build_sn_index).
+    # Left join + coalesce: an EMPTY catalog has no bounds rows — every
+    # delta key then gets ins = (r − j) = 0, which degrades exactly to plain
+    # SN over the delta alone.
+    ins_keys = (
+        ranked.filter("is_new")
+        .join(
+            F.broadcast(bounds.select("_bb", "_bstart")),
+            F.col("bucket") == F.col("_bb"),
+            "left",
+        )
+        .select(
+            "rid",
+            "name_norm",
+            (
+                F.coalesce(F.col("_bstart") - 1, F.lit(0))
+                + (F.col("_r") - F.col("_j"))
+            ).alias("ins"),
+        )
+    )
+    # Candidate old rows: pos ∈ [ins − (w−2), ins + (w−1)] for some delta
+    # key. Buckets overlapping each interval come from the broadcast bounds
+    # (handles windows spanning bucket edges and buckets smaller than the
+    # window); the index join is hash on bucket + residual pos-range filter.
+    ivals = ins_keys.select(
+        (F.col("ins") - (window - 2)).alias("lo"),
+        (F.col("ins") + (window - 1)).alias("hi"),
+    ).distinct()
+    ival_buckets = (
+        ivals.join(
+            F.broadcast(bounds),
+            (F.col("_bstart") <= F.col("hi"))
+            & (F.col("_bstart") + F.col("_bn") - 1 >= F.col("lo")),
+        )
+        .select(F.col("_bb").alias("_ib"), "lo", "hi")
+    )
+    cands = (
+        state.sn_index.join(
+            F.broadcast(ival_buckets),
+            (F.col("bucket") == F.col("_ib"))
+            & F.col("pos").between(F.col("lo"), F.col("hi")),
+        )
+        .select("rid", "name_norm", "pos")
+        .distinct()
+    )
+    return cands.select(
+        "rid",
+        "name_norm",
+        F.lit(False).alias("is_new"),
+        (F.col("pos") - 1).alias("left"),
+        F.col("pos").alias("right"),
+    ).unionByName(
+        ins_keys.select(
+            "rid",
+            "name_norm",
+            F.lit(True).alias("is_new"),
+            F.col("ins").alias("left"),
+            F.col("ins").alias("right"),
+        )
+    )
+
+
+def delta_sn_pairs(
+    state: CatalogState,
+    delta_keys: DataFrame,
+    window: int,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood pairs with ≥ 1 new side, WITHOUT re-sorting the
+    union corpus: range-join delta keys into the persisted catalog key index.
+
+    Exactness argument (vs. the full union sort restricted to delta-touching
+    pairs — property-tested in tests/test_incremental_state.py):
+
+    1. Every true pair lies inside S (:func:`_delta_sn_candidates`): a pair
+       (new k, x) at merged distance d ≤ w−1 forces every catalog row
+       between them — and x itself if old — within w−1 catalog positions of
+       ins(k), which is exactly the candidate window.
+    2. Within S sorted by (name_norm, rid), a GAP between consecutive rows
+       (next.left > cur.right, with old rows carrying [pos−1, pos] and new
+       rows [ins, ins]) marks ≥ 1 catalog row missing from S between them.
+       Inside a gap-free stretch, S order IS merged order contiguously
+       (all delta rows are in S), so merged distance = S distance: windowing
+       each stretch with the batch SN kernel (blocking.sn_window_pairs)
+       yields exactly the merged-order pairs, no spurious cross-gap pairs.
+    3. Old-old pairs are dropped: their catalog distance ≤ merged distance,
+       so the catalog run already considered them.
+
+    gap_id is computed with the bucketed two-level form (per-partition lag +
+    a broadcast metadata-size offsets table) — no single-partition window;
+    the one range sort here is over S, which is delta-proportional
+    (|S| ≤ |delta| · (2w − 1)). The bucketed relation is pinned
+    (localCheckpoint) for the same boundary-nondeterminism reason as
+    operators.blocking.sorted_neighborhood.
+    """
+    spark = delta_keys.sparkSession
+    num_parts = num_parts or spark.sparkContext.defaultParallelism
+    s = _delta_sn_candidates(state, delta_keys, window)
+    s2 = (
+        s.repartitionByRange(num_parts, "name_norm", "rid")
+        .withColumn("part", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    wp = Window.partitionBy("part").orderBy("name_norm", "rid")
+    prev_right = F.lag("right").over(wp)
+    flagged = s2.withColumn(
+        "_flag",
+        F.when(prev_right.isNull(), F.lit(0)).otherwise(
+            (F.col("left") > prev_right).cast("long")
+        ),
+    ).withColumn(
+        "_cum",
+        F.sum("_flag").over(
+            wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    key = F.struct(F.col("name_norm"), F.col("rid"))
+    pstats = flagged.groupBy("part").agg(
+        F.max("_cum").alias("tot"),
+        F.min_by("left", key).alias("first_left"),
+        F.max_by("right", key).alias("last_right"),
+    )
+    # Cross-partition boundary flag: first row of part p opens a new stretch
+    # iff its left exceeds the previous non-empty partition's last right.
+    prev = pstats.select(
+        F.col("part").alias("q"),
+        F.col("last_right").alias("q_last"),
+        F.col("tot").alias("q_tot"),
+    )
+    bflag = (
+        pstats.join(F.broadcast(prev), F.col("q") < F.col("part"), "left")
+        .groupBy("part", "tot", "first_left")
+        .agg(F.max_by("q_last", "q").alias("prev_last"))
+        .withColumn(
+            "bflag",
+            F.when(
+                F.col("prev_last").isNotNull()
+                & (F.col("first_left") > F.col("prev_last")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .select("part", "tot", "bflag")
+    )
+    prior2 = bflag.select(
+        F.col("part").alias("q"), F.col("tot").alias("q_tot"),
+        F.col("bflag").alias("q_b"),
+    )
+    offsets = (
+        bflag.join(F.broadcast(prior2), F.col("q") <= F.col("part"), "left")
+        .groupBy("part")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("q") < F.col("part"), F.col("q_tot")).otherwise(
+                        F.lit(0)
+                    )
+                    + F.col("q_b")
+                ),
+                F.lit(0),
+            ).alias("offset")
+        )
+    )
+    gapped = flagged.join(F.broadcast(offsets), "part").select(
+        "rid",
+        "name_norm",
+        "is_new",
+        (F.col("offset") + F.col("_cum")).alias("gap_id"),
+    )
+    pairs = sn_window_pairs(gapped, "gap_id", window)
+    flags = gapped.select("rid", "is_new")
+    f1 = flags.select(F.col("rid").alias("rid1"), F.col("is_new").alias("_n1"))
+    f2 = flags.select(F.col("rid").alias("rid2"), F.col("is_new").alias("_n2"))
+    kept = (
+        pairs.join(f1, "rid1")
+        .join(f2, "rid2")
+        .filter(F.col("_n1") | F.col("_n2"))
+        .select("rid1", "rid2", "block_key")
+    )
+    return canonical_pairs(kept, dedupe=False)
+
+
 def incremental_candidate_pairs(
-    work: DataFrame, cfg: MatcherConfig, sn: bool = True
+    work: DataFrame,
+    cfg: MatcherConfig,
+    sn: bool = True,
+    state: CatalogState | None = None,
+    work_new: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-pass delta blocking: restricted token pass ∪ delta-touching
     sorted-neighborhood pairs, merged through the same single-shuffle
     meta-union as the batch matcher (identical overlap semantics).
 
-    ``sn=False`` drops the sorted-neighborhood pass — the one component whose
-    per-delta cost is corpus-proportional (a full union range sort). Token-
-    only incremental blocking is delta-proportional end to end (the corpus is
-    exploded and shuffled once, never sorted) at the price of the SN recall
-    path for name-similar-but-token-poor records; high-frequency ingest
-    deployments run sn=False per delta and fold an sn=True pass into the
-    periodic full re-resolution."""
+    With ``state`` (and ``work_new``), both passes are delta-proportional:
+    maintained dfs + index range-join (:func:`incremental_token_pairs_state`,
+    :func:`delta_sn_pairs`). Without, the self-contained full-union forms
+    run. ``sn=False`` drops the sorted-neighborhood pass entirely — the
+    recall path for name-similar-but-token-poor records folds into the
+    periodic full re-resolution instead."""
+    if state is not None:
+        tok = incremental_token_pairs_state(
+            state, work_new, df_cap=cfg.token_df_cap
+        )
+        if not sn:
+            empty = tok.filter(F.lit(False))
+            return union_candidates_meta(
+                tok, empty, min_token_overlap=cfg.min_token_overlap
+            )
+        sn_new = delta_sn_pairs(
+            state, work_new.select("rid", "name_norm"), window=cfg.sn_window
+        )
+        return union_candidates_meta(
+            tok, sn_new, min_token_overlap=cfg.min_token_overlap
+        )
     tok = incremental_token_pairs(work, df_cap=cfg.token_df_cap)
     if not sn:
         empty = tok.filter(F.lit(False))
@@ -151,22 +477,94 @@ def incremental_candidate_pairs(
     )
 
 
+def delta_attrs(
+    state: CatalogState, work_new: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Scoring attribute side for a delta run: catalog ∪ delta narrow attrs
+    pre-filtered to rids that actually appear in a candidate pair (semi join
+    — AQE broadcasts the delta-proportional rid set; the catalog side is
+    scanned narrow, never shuffled corpus-wide)."""
+    touched_rids = (
+        pairs.select(F.col("rid1").alias("rid"))
+        .unionByName(pairs.select(F.col("rid2").alias("rid")))
+        .distinct()
+    )
+    return (
+        state.norm.select(F.col("rid_b").alias("rid"), "name_norm", "th")
+        .unionByName(work_new.select("rid", "name_norm", "th"))
+        .join(touched_rids, "rid", "left_semi")
+    )
+
+
+def _touched_component_labels(
+    delta_edges: DataFrame,
+    labels_old: DataFrame,
+    new_rids: DataFrame,
+    max_iterations: int,
+) -> tuple[DataFrame, DataFrame]:
+    """CC restricted to the components a delta edge can change.
+
+    Only entities with a member incident to a delta edge can merge or gain
+    members; everything else keeps its catalog label verbatim. Returns
+    (labels_touched, labels_rest_binary): labels_touched covers new rids +
+    members of touched catalog entities (CC output, binary rid/entity);
+    labels_rest_binary is the untouched remainder of the catalog, converted
+    to binary keys for the emit join. Cost: CC input is delta-proportional
+    (delta edges + touched-entity star edges) instead of corpus-proportional
+    star edges for EVERY catalog entity.
+    """
+    ctx = "resolve_entities_incremental: catalog"
+    labels_old_b = labels_old.select(
+        guarded_unhex("rid", ctx).alias("rid"),
+        guarded_unhex("entity_id", ctx).alias("entity_id"),
+    )
+    ends = (
+        delta_edges.select(F.col("src").alias("rid"))
+        .unionByName(delta_edges.select(F.col("dst").alias("rid")))
+        .distinct()
+    )
+    touched_ents = (
+        labels_old_b.join(ends, "rid").select("entity_id").distinct()
+    )
+    members = labels_old_b.join(touched_ents, "entity_id", "left_semi")
+    star = members.filter(F.col("rid") != F.col("entity_id")).select(
+        F.col("entity_id").alias("src"), F.col("rid").alias("dst")
+    )
+    nodes = members.select("rid").unionByName(new_rids).distinct()
+    labels_touched = connected_components(
+        delta_edges.unionByName(star),
+        nodes=nodes,
+        max_iterations=max_iterations,
+    ).labels
+    labels_rest = labels_old_b.join(
+        members.select("rid"), "rid", "left_anti"
+    ).select("rid", "entity_id")
+    return labels_touched, labels_rest
+
+
 def resolve_entities_incremental(
     catalog: DataFrame,
     new_records: DataFrame,
     cfg: MatcherConfig | None = None,
     sn: bool = True,
+    state: CatalogState | None = None,
+    emit: str = "full",
 ) -> DataFrame:
     """Resolve ``catalog ∪ new_records`` by linking only the delta.
 
     ``catalog`` is a prior resolve_entities / run_pipeline output (the five
     input columns + content_sha + entity_id, entity_id = min rid per
     cluster). ``new_records`` is a raw delta with the five input columns.
-    ``sn=False`` selects token-only delta blocking (delta-proportional cost —
-    see :func:`incremental_candidate_pairs`). Returns the same entity-table
-    schema over the combined corpus.
+    ``state`` supplies the catalog run's persisted normalize stage +
+    maintained token-df + key index (plans.catalog_state) — the delta-
+    proportional path; without it the catalog is re-derived from its rows.
+    ``emit="delta"`` returns only rows whose label could have changed (new
+    rows + members of touched entities — an upsert set); ``"full"`` returns
+    the whole combined entity table.
     """
     cfg = cfg or MatcherConfig()
+    if emit not in ("full", "delta"):
+        raise ValueError(f"emit must be 'full' or 'delta', got {emit!r}")
     spark = catalog.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
 
@@ -181,6 +579,45 @@ def resolve_entities_incremental(
         .dropDuplicates(["rid"])
         .join(labels_old.select("rid"), "rid", "left_anti")
     )
+
+    if state is not None:
+        # Delta-proportional path: only the delta is normalized/persisted;
+        # the catalog contributes its PERSISTED narrow columns.
+        norm_new = (
+            with_token_hashes(norm_new)
+            .withColumn("rid_b", F.unhex("rid"))
+        )
+        if norm_new.rdd.getNumPartitions() < parallelism:
+            norm_new = norm_new.repartition(parallelism)
+        norm_new = norm_new.persist()
+        work_new = norm_new.select(
+            F.col("rid_b").alias("rid"), "name_norm", "tokens", "th"
+        )
+        pairs = incremental_candidate_pairs(
+            None, cfg, sn=sn, state=state, work_new=work_new
+        )
+        attrs = delta_attrs(state, work_new, pairs)
+        scored = score_pairs_fused(
+            pairs,
+            attrs,
+            weights=cfg.weights,
+            threshold=cfg.threshold,
+            salt_buckets=cfg.salt_buckets,
+        )
+        delta_edges = edges_from_scores(scored, threshold=cfg.threshold)
+        labels_touched, labels_rest = _touched_component_labels(
+            delta_edges,
+            labels_old,
+            new_rids=work_new.select("rid"),
+            max_iterations=cfg.cc_max_iterations,
+        )
+        norm_union = state.norm.unionByName(norm_new.select(*state.norm.columns))
+        if emit == "delta":
+            return emit_entities(norm_union, labels_touched)
+        return emit_entities(
+            norm_union, labels_touched.unionByName(labels_rest)
+        )
+
     norm_old = normalize_records(catalog.select(*INPUT_COLUMNS))
     norm = (
         with_token_hashes(
@@ -208,27 +645,25 @@ def resolve_entities_incremental(
     )
     delta_edges = edges_from_scores(scored, threshold=cfg.threshold)
 
-    # Seed CC with the catalog's star edges (entity_id → member rid): old
-    # clusters stay connected by construction, and a delta edge that lands in
-    # two different stars merges them transitively. entity_id ≤ rid within a
-    # cluster (min-rid labels), so the canonical src < dst form is free.
-    # Guard the hex invariant rather than silently nulling: F.unhex of a
-    # malformed id returns NULL, _canon_edges would then DROP the star edge
-    # and the old entity would silently split — the exact failure mode a
-    # foreign/corrupted catalog must surface instead.
-    ctx = "resolve_entities_incremental: catalog"
-    star = (
-        labels_old.filter(F.col("rid") != F.col("entity_id"))
-        .select(
-            guarded_unhex("entity_id", ctx).alias("src"),
-            guarded_unhex("rid", ctx).alias("dst"),
-        )
-    )
-    labels = connected_components(
-        delta_edges.unionByName(star),
-        nodes=work.select("rid"),
+    # CC over the touched components only — the catalog's untouched
+    # entities keep their labels verbatim (same output, delta-proportional
+    # CC input; the star edges of touched entities keep old clusters
+    # connected and a delta edge landing in two stars merges them).
+    # guarded_unhex raises on malformed catalog ids instead of silently
+    # nulling: F.unhex of a malformed id returns NULL, _canon_edges would
+    # then DROP the star edge and the old entity would silently split — the
+    # exact failure mode a foreign/corrupted catalog must surface instead.
+    labels_touched, labels_rest = _touched_component_labels(
+        delta_edges,
+        labels_old,
+        new_rids=work.filter("is_new").select("rid"),
         max_iterations=cfg.cc_max_iterations,
-    ).labels
+    )
+    norm_out = norm.drop("is_new")
+    if emit == "delta":
+        return emit_entities(norm_out, labels_touched)
     # norm stays persisted (matcher convention): the returned plan is lazy
     # and re-reads it through blocking, scoring, CC nodes and the emit join.
-    return emit_entities(norm.drop("is_new"), labels)
+    return emit_entities(
+        norm_out, labels_touched.unionByName(labels_rest)
+    )

@@ -50,6 +50,17 @@ class MatcherConfig:
     # coincidence pairs that dominate token-blocking output at scale; set 1
     # for exhaustive (every co-blocked pair scored) semantics.
     min_token_overlap: int = 2
+    # Opt-in half-width (31-bit) token-hash prefilter crossing
+    # (normalize.with_token_hashes32 + the th32 branch in
+    # operators.scoring.fused_score_from_attrs). Measured-REJECTED for this
+    # box's production default: 0.77×/0.64× at 8/32 cores in an isolated-JVM
+    # A/B (scripts/ab_int32_prefilter.py; BENCH/BASELINE.md) — exactness
+    # forces both widths through the fan-in join, which dominates on a
+    # DRAM-bound host, and the join *shuffles* those bytes on a cluster too.
+    # Kept as a knob because the result is EXACT (provable lower bound,
+    # tested equal) and a deployment whose bottleneck is the Python crossing
+    # rather than the join may measure differently.
+    int32_prefilter: bool = False
 
 
 def candidate_pairs(records_norm: DataFrame, cfg: MatcherConfig) -> DataFrame:
@@ -79,7 +90,7 @@ def emit_entities(norm: DataFrame, labels: DataFrame) -> DataFrame:
     used to produce, kept stable for downstream consumers.
     """
     out = (
-        norm.drop("name_norm", "tokens", "th")
+        norm.drop("name_norm", "tokens", "th", "th32")
         .join(labels.withColumnRenamed("rid", "rid_b"), "rid_b")
         .drop("rid_b")
         .withColumn("entity_id", F.lower(F.hex("entity_id")))
@@ -115,14 +126,16 @@ def resolve_entities(
     # bytewise in the same order as its hex form — so least/greatest
     # canonicalization, SN sort order, CC minima and the final min-label all
     # pick identical records; lower(hex(·)) restores the exact string at emit.
-    norm = (
-        with_token_hashes(normalize_records(records))
-        .withColumn("rid_b", F.unhex("rid"))
-        .persist()
+    norm = with_token_hashes(normalize_records(records))
+    if cfg.int32_prefilter:
+        from codingchallenge_spark.functions.normalize import with_token_hashes32
+
+        norm = with_token_hashes32(norm)
+    norm = norm.withColumn("rid_b", F.unhex("rid")).persist()
+    work_cols = ["name_norm", "tokens", "th"] + (
+        ["th32"] if cfg.int32_prefilter else []
     )
-    work = norm.select(
-        F.col("rid_b").alias("rid"), "name_norm", "tokens", "th"
-    )
+    work = norm.select(F.col("rid_b").alias("rid"), *work_cols)
     pairs = candidate_pairs(work, cfg)
     scored = score_pairs_fused(
         pairs,

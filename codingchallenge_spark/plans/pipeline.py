@@ -44,6 +44,7 @@ from codingchallenge_spark.operators.scoring import (
     edges_from_scores,
     score_pairs_fused,
 )
+from codingchallenge_spark.plans import catalog_state as cstate
 from codingchallenge_spark.plans.matcher import MatcherConfig, emit_entities
 from codingchallenge_spark.sources import checkpoint as ckpt
 
@@ -56,6 +57,19 @@ STAGES = [
     "edges",
     "cc",
     "entities",
+    # catalog-state sinks consumed by --delta runs (plans.catalog_state)
+    "token_df",
+    "sn_index",
+    "sn_bounds",
+]
+
+DELTA_STAGES = [
+    "normalize_delta",
+    "pairs_delta",
+    "score_delta",
+    "edges_delta",
+    "cc_delta",
+    "entities_delta",
 ]
 
 
@@ -105,6 +119,40 @@ def _latest_cc_iteration(iter_dir: str) -> tuple[int, str | None]:
     return best, path
 
 
+class _StageRunner:
+    """The fingerprinted execute-or-skip protocol shared by the batch and
+    delta pipelines (one implementation, two stage graphs)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        run_dir: str,
+        cfg: MatcherConfig,
+        input_id: str,
+        resume: bool,
+    ):
+        self.spark = spark
+        self.run_dir = run_dir
+        self.cfg = cfg
+        self.input_id = input_id
+        self.resume = resume
+        self.executed: list[str] = []
+        self.skipped: list[str] = []
+        self.fps: dict[str, str] = {}
+
+    def stage(self, name: str, upstream: list[str], build) -> DataFrame:
+        up_fp = "|".join(self.fps[u] for u in upstream)
+        fp = _fingerprint(self.cfg, self.input_id, up_fp, name)
+        self.fps[name] = fp
+        if self.resume and ckpt.is_done(self.run_dir, name, fp):
+            ckpt.record_skip(self.run_dir, name, fp)
+            self.skipped.append(name)
+        else:
+            ckpt.write_stage(build(), self.run_dir, name, fp)
+            self.executed.append(name)
+        return ckpt.load_stage(self.spark, self.run_dir, name)
+
+
 def run_pipeline(
     spark: SparkSession,
     records: DataFrame,
@@ -116,21 +164,9 @@ def run_pipeline(
     """Execute (or resume) the full record-linkage pipeline."""
     cfg = cfg or MatcherConfig()
     Path(run_dir).mkdir(parents=True, exist_ok=True)
-    executed: list[str] = []
-    skipped: list[str] = []
-    fps: dict[str, str] = {}
-
-    def stage(name: str, upstream: list[str], build) -> DataFrame:
-        up_fp = "|".join(fps[u] for u in upstream)
-        fp = _fingerprint(cfg, input_id, up_fp, name)
-        fps[name] = fp
-        if resume and ckpt.is_done(run_dir, name, fp):
-            ckpt.record_skip(run_dir, name, fp)
-            skipped.append(name)
-        else:
-            ckpt.write_stage(build(), run_dir, name, fp)
-            executed.append(name)
-        return ckpt.load_stage(spark, run_dir, name)
+    runner = _StageRunner(spark, run_dir, cfg, input_id, resume)
+    stage = runner.stage
+    executed, skipped, fps = runner.executed, runner.skipped, runner.fps
 
     def build_normalize() -> DataFrame:
         recs = records
@@ -144,14 +180,20 @@ def run_pipeline(
         # rid_b = unhex(rid): the blocking/scoring/cc stages shuffle on
         # record ids constantly, and the 32-byte binary form halves that
         # key's bytes vs the 64-char hex string (exact — see plans.matcher).
-        return with_token_hashes(normalize_records(recs)).withColumn(
-            "rid_b", F.unhex("rid")
-        )
+        n = with_token_hashes(normalize_records(recs))
+        if cfg.int32_prefilter:
+            from codingchallenge_spark.functions.normalize import (
+                with_token_hashes32,
+            )
+
+            n = with_token_hashes32(n)
+        return n.withColumn("rid_b", F.unhex("rid"))
 
     norm = stage("normalize", [], build_normalize)
-    norm_narrow = norm.select(
-        F.col("rid_b").alias("rid"), "name_norm", "tokens", "th"
+    narrow_cols = ["name_norm", "tokens", "th"] + (
+        ["th32"] if cfg.int32_prefilter else []
     )
+    norm_narrow = norm.select(F.col("rid_b").alias("rid"), *narrow_cols)
 
     tok_pairs = stage(
         "block_token",
@@ -231,6 +273,220 @@ def run_pipeline(
     entities = stage(
         "entities", ["cc", "normalize"], lambda: emit_entities(norm, labels)
     )
+
+    # Catalog-state stages (plans.catalog_state): the derived relations a
+    # --delta run needs to stay delta-proportional — maintained token dfs
+    # and the materialized (name_norm, rid) key order. sn_bounds is derived
+    # from the PERSISTED index so both describe one materialization.
+    tok_df = stage(
+        "token_df", ["normalize"], lambda: cstate.build_token_df(norm)
+    )
+    sn_index = stage(
+        "sn_index",
+        ["normalize"],
+        lambda: cstate.build_sn_index(norm, num_buckets=cfg.sn_buckets)[0],
+    )
+    stage(
+        "sn_bounds", ["sn_index"], lambda: cstate.bounds_from_index(sn_index)
+    )
+    cstate.write_state_manifest(
+        run_dir, [ckpt.stage_path(run_dir, "normalize")]
+    )
     return PipelineRun(
         entities=entities, executed=executed, skipped=skipped, run_dir=run_dir
     )
+
+
+def run_delta_pipeline(
+    spark: SparkSession,
+    catalog: DataFrame,
+    delta_records: DataFrame,
+    run_dir: str,
+    cfg: MatcherConfig | None = None,
+    input_id: str = "",
+    resume: bool = False,
+    sn: bool = True,
+    state: "cstate.CatalogState | None" = None,
+    emit: str = "full",
+    maintain_state: bool = True,
+) -> PipelineRun:
+    """Checkpointed, resumable INCREMENTAL pipeline (plans.incremental staged
+    through the same sources.checkpoint protocol as the batch run).
+
+    Stage graph (each a fingerprinted parquet sink; an interrupted ingest
+    resumes after the last completed stage):
+
+        [catalog_norm → token_df_cat → sn_index_cat]   (only when no
+                                                        persisted state —
+                                                        builds one in-run)
+        normalize_delta → pairs_delta → score_delta → edges_delta
+        → cc_delta → entities_delta
+        [→ token_df / sn_index / sn_bounds + state.json]  (maintain_state:
+                                                        the run_dir becomes
+                                                        a valid catalog
+                                                        state for the NEXT
+                                                        delta — norm chain =
+                                                        catalog paths +
+                                                        this delta's)
+
+    ``input_id`` must identify BOTH the catalog and the delta (the CLI folds
+    both paths plus the sn/emit flags) so fingerprints invalidate when either
+    side changes. ``catalog`` is the prior entities table (rid, entity_id +
+    record columns).
+    """
+    from codingchallenge_spark.plans import incremental as inc
+
+    cfg = cfg or MatcherConfig()
+    Path(run_dir).mkdir(parents=True, exist_ok=True)
+    runner = _StageRunner(
+        spark, run_dir, cfg, f"{input_id}|sn={int(sn)}|emit={emit}", resume
+    )
+    stage = runner.stage
+    labels_old = catalog.select("rid", "entity_id")
+
+    if state is None:
+        # No persisted state supplied: derive one IN-RUN, checkpointed — the
+        # corpus-proportional derivation is paid once per catalog (resume
+        # skips it), not once per stage, and the run_dir then carries a
+        # reusable state.
+        def build_catalog_norm() -> DataFrame:
+            recs = catalog.select(*normalize_input_columns())
+            parallelism = spark.sparkContext.defaultParallelism
+            if recs.rdd.getNumPartitions() < parallelism:
+                recs = recs.repartition(parallelism)
+            from codingchallenge_spark.functions.normalize import (
+                normalize_records,
+                with_token_hashes,
+            )
+
+            return with_token_hashes(normalize_records(recs)).withColumn(
+                "rid_b", F.unhex("rid")
+            )
+
+        cat_norm = stage("catalog_norm", [], build_catalog_norm)
+        tok_df_cat = stage(
+            "token_df_cat",
+            ["catalog_norm"],
+            lambda: cstate.build_token_df(cat_norm),
+        )
+        idx_cat = stage(
+            "sn_index_cat",
+            ["catalog_norm"],
+            lambda: cstate.build_sn_index(cat_norm, num_buckets=cfg.sn_buckets)[0],
+        )
+        state = cstate.CatalogState(
+            norm=cat_norm,
+            token_df=tok_df_cat,
+            sn_index=idx_cat,
+            sn_bounds=cstate.bounds_from_index(idx_cat),
+            norm_paths=[ckpt.stage_path(run_dir, "catalog_norm")],
+        )
+
+    def build_normalize_delta() -> DataFrame:
+        from codingchallenge_spark.functions.normalize import (
+            normalize_records,
+            with_token_hashes,
+        )
+        from codingchallenge_spark.sources.records import INPUT_COLUMNS
+
+        nd = (
+            normalize_records(delta_records.select(*INPUT_COLUMNS))
+            .dropDuplicates(["rid"])
+            .join(labels_old.select("rid"), "rid", "left_anti")
+        )
+        return with_token_hashes(nd).withColumn("rid_b", F.unhex("rid"))
+
+    norm_delta = stage("normalize_delta", [], build_normalize_delta)
+    work_new = norm_delta.select(
+        F.col("rid_b").alias("rid"), "name_norm", "tokens", "th"
+    )
+
+    pairs = stage(
+        "pairs_delta",
+        ["normalize_delta"],
+        lambda: inc.incremental_candidate_pairs(
+            None, cfg, sn=sn, state=state, work_new=work_new
+        ),
+    )
+    scored = stage(
+        "score_delta",
+        ["pairs_delta", "normalize_delta"],
+        lambda: score_pairs_fused(
+            pairs,
+            inc.delta_attrs(state, work_new, pairs),
+            weights=cfg.weights,
+            threshold=cfg.threshold,
+            salt_buckets=cfg.salt_buckets,
+        ),
+    )
+    edges = stage(
+        "edges_delta",
+        ["score_delta"],
+        lambda: edges_from_scores(scored, threshold=cfg.threshold),
+    )
+    labels_touched = stage(
+        "cc_delta",
+        ["edges_delta", "normalize_delta"],
+        lambda: inc._touched_component_labels(
+            edges,
+            labels_old,
+            new_rids=work_new.select("rid"),
+            max_iterations=cfg.cc_max_iterations,
+        )[0],
+    )
+
+    def build_entities() -> DataFrame:
+        norm_union = state.norm.unionByName(
+            norm_delta.select(*state.norm.columns)
+        )
+        if emit == "delta":
+            return emit_entities(norm_union, labels_touched)
+        from codingchallenge_spark.functions.normalize import guarded_unhex
+
+        ctx = "run_delta_pipeline: catalog"
+        labels_rest = (
+            labels_old.select(
+                guarded_unhex("rid", ctx).alias("rid"),
+                guarded_unhex("entity_id", ctx).alias("entity_id"),
+            )
+            .join(labels_touched.select("rid"), "rid", "left_anti")
+        )
+        return emit_entities(
+            norm_union, labels_touched.unionByName(labels_rest)
+        )
+
+    entities = stage("entities_delta", ["cc_delta", "normalize_delta"], build_entities)
+
+    if maintain_state:
+        tok_df_new = stage(
+            "token_df",
+            ["normalize_delta"],
+            lambda: cstate.updated_token_df(state.token_df, norm_delta),
+        )
+        idx_new = stage(
+            "sn_index",
+            ["normalize_delta"],
+            lambda: cstate.updated_sn_index(
+                state, norm_delta, num_buckets=cfg.sn_buckets
+            )[0],
+        )
+        stage(
+            "sn_bounds", ["sn_index"], lambda: cstate.bounds_from_index(idx_new)
+        )
+        cstate.write_state_manifest(
+            run_dir,
+            (state.norm_paths or [])
+            + [ckpt.stage_path(run_dir, "normalize_delta")],
+        )
+    return PipelineRun(
+        entities=entities,
+        executed=runner.executed,
+        skipped=runner.skipped,
+        run_dir=run_dir,
+    )
+
+
+def normalize_input_columns() -> list[str]:
+    from codingchallenge_spark.sources.records import INPUT_COLUMNS
+
+    return list(INPUT_COLUMNS)

@@ -15,11 +15,19 @@ Local smoke (this sandbox):
         --input <fixture>/repo_files.parquet --run-dir /tmp/run1
 
 Incremental (delta) mode — link new records against a prior run's output
-without re-scoring the corpus (plans.incremental):
+without re-scoring the corpus (plans.incremental), staged + resumable
+(plans.pipeline.run_delta_pipeline). Point --input at the prior RUN DIR to
+reuse its persisted catalog state (the delta-proportional path); each delta
+run_dir maintains the state, so ingests chain:
 
     python run_pipeline.py --master 'local[8]' \
-        --input /tmp/run1/entities --delta <new>/repo_files.parquet \
-        --run-dir /tmp/run1_delta
+        --input /tmp/run1 --delta <new>/repo_files.parquet \
+        --run-dir /tmp/run1_d1 [--resume] [--token-only] [--emit-delta]
+    python run_pipeline.py --input /tmp/run1_d1 --delta <newer>.parquet \
+        --run-dir /tmp/run1_d2
+
+A bare entities parquet path also works as --input: the catalog state is
+then derived in-run (checkpointed — paid once, resume skips it).
 
 When the master comes from the spark-submit CLI instead of ``--master``,
 this script defers ALL memory sizing to spark-submit (on a cluster the
@@ -65,14 +73,30 @@ def main(argv: list[str] | None = None) -> int:
                          "(sn=False) — delta-proportional blocking for "
                          "high-frequency ingest; fold SN recall into the "
                          "periodic full re-resolution instead")
+    ap.add_argument("--emit-delta", action="store_true",
+                    help="with --delta: write only new + possibly-relabeled "
+                         "rows (an upsert set) instead of the full combined "
+                         "entity table — the corpus-proportional emit is the "
+                         "one remaining full-table pass of a delta run. An "
+                         "--emit-delta run_dir is NOT chainable as the next "
+                         "--delta's --input (its entities_delta is partial)")
+    ap.add_argument("--no-maintain-state", action="store_true",
+                    help="with --delta: skip writing the updated catalog "
+                         "state (token_df / sn_index / state.json) into the "
+                         "run_dir; the run_dir is then not usable as the "
+                         "next delta's catalog state")
     ap.add_argument("--master", default=None,
                     help="only for local runs; omit under spark-submit")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args(argv)
-    if args.token_only and not args.delta:
-        # Same validation posture as --resume-in-delta-mode below: reject a
-        # flag that would otherwise be silently ignored.
-        ap.error("--token-only only applies with --delta; drop it")
+    for flag, name in (
+        (args.token_only, "--token-only"),
+        (args.emit_delta, "--emit-delta"),
+        (args.no_maintain_state, "--no-maintain-state"),
+    ):
+        if flag and not args.delta:
+            # Reject flags that would otherwise be silently ignored.
+            ap.error(f"{name} only applies with --delta; drop it")
 
     spark = build_session(
         app_name="codingchallenge-pipeline",
@@ -87,33 +111,47 @@ def main(argv: list[str] | None = None) -> int:
     cfg = MatcherConfig(salt_buckets=args.salt_buckets, **cfg_kwargs)
 
     if args.delta:
-        # Incremental mode: --input is the resolved catalog (entities table
-        # of a prior run — read raw, it carries entity_id beyond the five
-        # record columns), --delta the new records. Output is the combined
-        # entity table, materialized under <run-dir>/entities_delta.
-        from codingchallenge_spark.plans.incremental import (
-            resolve_entities_incremental,
-        )
+        # Incremental mode: --input is the resolved catalog — EITHER a prior
+        # run_dir (its entities stage + persisted catalog state are used:
+        # the delta-proportional path, nothing corpus-sized recomputed) OR a
+        # bare entities table/path (a catalog state is then derived in-run,
+        # checkpointed, and the run_dir becomes a valid state for the next
+        # delta). Stages are fingerprinted and resumable (--resume).
+        from codingchallenge_spark.plans import catalog_state as cstate
+        from codingchallenge_spark.plans.pipeline import run_delta_pipeline
 
-        if args.resume:
-            # Delta mode has no stage checkpoints to resume — reject rather
-            # than silently ignore the flag.
-            ap.error("--resume has no effect in --delta mode; drop it")
+        state = None
+        catalog_path = args.input
+        if args.format == "parquet" and cstate.has_state(args.input):
+            state = cstate.load_catalog_state(spark, args.input)
+            for ent in ("entities_delta", "entities"):
+                if (Path(args.input) / ent / "_STAGE_DONE").exists():
+                    catalog_path = str(Path(args.input) / ent)
+                    break
         catalog = (
-            spark.table(args.input) if args.format == "table"
-            else spark.read.format(args.format).load(args.input)
+            spark.table(catalog_path) if args.format == "table"
+            else spark.read.format(args.format).load(catalog_path)
         )
         delta = read_records(spark, args.delta, fmt=args.format)
-        out_path = str(Path(args.run_dir) / "entities_delta")
-        resolve_entities_incremental(
-            catalog, delta, cfg, sn=not args.token_only
-        ).write.mode("overwrite").parquet(out_path)
-        entities = spark.read.parquet(out_path)
+        run = run_delta_pipeline(
+            spark,
+            catalog,
+            delta,
+            args.run_dir,
+            cfg,
+            input_id=f"{args.format}:{catalog_path}|delta:{args.delta}",
+            resume=args.resume,
+            sn=not args.token_only,
+            state=state,
+            emit="delta" if args.emit_delta else "full",
+            maintain_state=not args.no_maintain_state,
+        )
+        entities = run.entities
         summary = {
             "rows": entities.count(),
-            "executed": ["entities_delta"],
-            "skipped": [],
-            "run_dir": args.run_dir,
+            "executed": run.executed,
+            "skipped": run.skipped,
+            "run_dir": run.run_dir,
         }
     else:
         records = read_records(spark, args.input, fmt=args.format)

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Ingest A/B: delta wall-clock vs catalog size.
+
+Done-criterion for the round-3 verdict's top item ("make --delta ingest
+delta-proportional"): a measured A/B where making the catalog 10× bigger
+changes the wall-clock of the SAME delta ingest by ≪ 10×.
+
+Protocol:
+- one deterministic corpus (fixtures.gen_repo_files.generate) carved into
+  catalog_small = first N rows, catalog_big = first 10N rows, and a fixed
+  delta = the following D rows (disjoint rids by construction);
+- each catalog batch-resolved once (plans.pipeline.run_pipeline — also
+  writes the persisted catalog state: normalize stage, token_df, sn_index);
+- the delta ingest timed as resolve_entities_incremental(...).count(),
+  min of R trials (hypervisor noise — see BENCH/BASELINE.md protocol), at
+  local[8], in four configurations:
+    state+emit=delta        (the high-frequency ingest configuration)
+    state+emit=delta+sn=False  (token-only)
+    state+emit=full         (corpus-proportional emit, for contrast)
+    nostate                 (round-3 behavior: re-normalize + re-count)
+- prints ONE JSON line; paste the numbers into BENCH/BASELINE.md (this
+  script never writes the report file).
+
+Run:  python scripts/bench_ingest_ab.py [--n-small 20000] [--delta 1000]
+      [--trials 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from codingchallenge_spark.plans import catalog_state as cstate  # noqa: E402
+from codingchallenge_spark.plans.incremental import (  # noqa: E402
+    resolve_entities_incremental,
+)
+from codingchallenge_spark.plans.matcher import MatcherConfig  # noqa: E402
+from codingchallenge_spark.plans.pipeline import run_pipeline  # noqa: E402
+from codingchallenge_spark.session import build_session  # noqa: E402
+from fixtures.gen_repo_files import generate  # noqa: E402
+
+
+def _time_min(fn, trials: int) -> float:
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.monotonic()
+        fn()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 3)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-small", type=int, default=20_000)
+    ap.add_argument("--delta", type=int, default=1_000)
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--master", default="local[8]")
+    args = ap.parse_args()
+
+    n_small, n_big, n_delta = args.n_small, 10 * args.n_small, args.delta
+    spark = build_session(
+        app_name="bench-ingest-ab", master=args.master, shuffle_partitions=16
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    recs = generate(n_big + n_delta).records.reset_index(drop=True)
+    delta_pdf = recs.iloc[n_big : n_big + n_delta]
+    delta = spark.createDataFrame(delta_pdf).cache()
+    delta.count()
+
+    out: dict = {
+        "n_small": n_small, "n_big": n_big, "n_delta": n_delta,
+        "trials": args.trials, "master": args.master,
+    }
+    cfg = MatcherConfig()
+    for label, n in (("small", n_small), ("big", n_big)):
+        cat_records = spark.createDataFrame(recs.iloc[:n])
+        run_dir = tempfile.mkdtemp(prefix=f"ingest_ab_{label}_")
+        t0 = time.monotonic()
+        run = run_pipeline(
+            spark, cat_records, run_dir, cfg, input_id=f"ab-{label}"
+        )
+        run.entities.count()
+        out[f"catalog_build_{label}_sec"] = round(time.monotonic() - t0, 3)
+        catalog = run.entities.cache()
+        catalog.count()
+        state = cstate.load_catalog_state(spark, run_dir)
+
+        out[f"delta_state_{label}_sec"] = _time_min(
+            lambda: resolve_entities_incremental(
+                catalog, delta, cfg, state=state, emit="delta"
+            ).count(),
+            args.trials,
+        )
+        out[f"delta_state_tokonly_{label}_sec"] = _time_min(
+            lambda: resolve_entities_incremental(
+                catalog, delta, cfg, state=state, emit="delta", sn=False
+            ).count(),
+            args.trials,
+        )
+        out[f"delta_state_fullemit_{label}_sec"] = _time_min(
+            lambda: resolve_entities_incremental(
+                catalog, delta, cfg, state=state, emit="full"
+            ).count(),
+            args.trials,
+        )
+        out[f"delta_nostate_{label}_sec"] = _time_min(
+            lambda: resolve_entities_incremental(catalog, delta, cfg).count(),
+            args.trials,
+        )
+        catalog.unpersist()
+
+    for k in ("delta_state", "delta_state_tokonly", "delta_state_fullemit",
+              "delta_nostate"):
+        small, big = out[f"{k}_small_sec"], out[f"{k}_big_sec"]
+        out[f"{k}_10x_ratio"] = round(big / small, 2) if small else None
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -28,11 +28,10 @@ def test_queries_and_oracles_aligned():
     o = mod.oracle_sql()
     assert len(q) >= 40
     assert set(o) <= set(q)
-    # every oracle key resolves; the single rows-only entry is documented
-    # (HLL sketch differs from DuckDB's; q_ann_lsh gained a full twin once
-    # the planes became md5-derived rather than numpy-RNG-seeded)
-    rows_only = set(q) - set(o)
-    assert rows_only == {"q_approx_count_distinct"}
+    # every registered query has an oracle twin since round 4: the last
+    # rows-only entry (q_approx_count_distinct) became a derived check
+    # (exact count + within-5pct boolean), so the driver hash-verifies all.
+    assert set(q) == set(o)
     # the driver recorded exactly 50 queries in round 1 and dropped the rest:
     # stay below that window
     assert len(q) <= 50

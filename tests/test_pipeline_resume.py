@@ -51,7 +51,11 @@ def test_resume_recomputes_only_missing_suffix(spark, tiny_records, run_dir):
     run = run_pipeline(
         spark, tiny_records, run_dir, cfg, input_id="tiny", resume=True
     )
-    assert run.skipped == ["normalize", "block_token", "block_sn", "pairs"]
+    # the catalog-state stages depend only on normalize → also skipped
+    assert run.skipped == [
+        "normalize", "block_token", "block_sn", "pairs",
+        "token_df", "sn_index", "sn_bounds",
+    ]
     assert run.executed == ["score", "edges", "cc", "entities"]
     assert _labels(run.entities) == out_before
 

@@ -43,3 +43,23 @@ def test_fused_arrow_accepts_real_rids(spark, tiny_records):
     for r in rows:
         assert len(r.rid1) == 64 and r.rid1 == r.rid1.lower()
         assert len(r.rid2) == 64 and r.rid2 == r.rid2.lower()
+
+
+def test_int32_prefilter_knob_is_exact(spark, tiny_records):
+    """MatcherConfig(int32_prefilter=True) routes the half-width prefilter
+    crossing through the whole matcher and must emit the identical entity
+    partition (the prefilter bound is provably conservative and survivors
+    recompute on th64 — measured-rejected as the DEFAULT, kept as an exact
+    opt-in; see the MatcherConfig field comment + scripts/ab_int32_prefilter)."""
+    from codingchallenge_spark.plans.matcher import resolve_entities
+
+    def part(df):
+        out = {}
+        for r in df.select("rid", "entity_id").collect():
+            out.setdefault(r.entity_id, set()).add(r.rid)
+        return {frozenset(v) for v in out.values()}
+
+    base = resolve_entities(tiny_records, MatcherConfig())
+    knob = resolve_entities(tiny_records, MatcherConfig(int32_prefilter=True))
+    assert "th32" not in knob.columns  # narrow column never leaks to emit
+    assert part(knob) == part(base)
