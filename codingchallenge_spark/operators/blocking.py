@@ -97,27 +97,22 @@ def token_blocking(
 
 
 def _nbrs_array(w, window: int):
-    """Array of the ``window - 1`` successor (rid, key) structs over window
-    spec ``w`` — the SN neighbor column."""
-    cols = []
-    for i in range(1, window):
-        cols.append(
-            F.struct(
-                F.lead("rid", i).over(w).alias("rid2"),
-                F.lead("name_norm", i).over(w).alias("key2"),
-            ).alias(f"n{i}")
-        )
-    return F.array(*cols)
+    """Array of the ``window - 1`` successor rids over window spec ``w`` —
+    the SN neighbor column. Only the successor's rid is carried (the pair's
+    block_key is the SOURCE row's name key), which keeps the windowed
+    relation — and sorted_neighborhood's pinned materialization of it —
+    narrow."""
+    return F.array(*[F.lead("rid", i).over(w) for i in range(1, window)])
 
 
 def _explode_nbrs(df: DataFrame) -> DataFrame:
     """[rid, name_norm, nbrs] → SN pair rows [rid1, rid2, block_key]."""
     exploded = df.select(
-        "rid", "name_norm", F.explode("nbrs").alias("n")
-    ).filter(F.col("n.rid2").isNotNull())
+        "rid", "name_norm", F.explode("nbrs").alias("rid2")
+    ).filter(F.col("rid2").isNotNull())
     return exploded.select(
         F.col("rid").alias("rid1"),
-        F.col("n.rid2").alias("rid2"),
+        "rid2",
         F.concat(F.lit("sn:"), F.col("name_norm")).alias("block_key"),
     )
 
