@@ -526,7 +526,10 @@ def _touched_component_labels(
     touched_ents = (
         labels_old_b.join(ends, "rid").select("entity_id").distinct()
     )
-    members = labels_old_b.join(touched_ents, "entity_id", "left_semi")
+    # members is delta-proportional but feeds three consumers (star edges,
+    # the CC node set, the untouched-remainder anti-join) — persisted so the
+    # catalog label scan behind it runs once, not per consumer.
+    members = labels_old_b.join(touched_ents, "entity_id", "left_semi").persist()
     star = members.filter(F.col("rid") != F.col("entity_id")).select(
         F.col("entity_id").alias("src"), F.col("rid").alias("dst")
     )
@@ -593,9 +596,16 @@ def resolve_entities_incremental(
         work_new = norm_new.select(
             F.col("rid_b").alias("rid"), "name_norm", "tokens", "th"
         )
+        # The delta-proportional intermediates are persisted: `pairs` feeds
+        # the touched-rid derivation AND both attribute fan-in sides, and
+        # `delta_edges` feeds the touched-entity derivation AND CC — left
+        # lazy, each consumer would re-run the whole blocking plan (with its
+        # catalog parquet scans and broadcast sub-jobs) per evaluation. Both
+        # relations are delta-sized, so the persist is cheap by construction.
+        # (The staged pipeline gets the same effect from its stage sinks.)
         pairs = incremental_candidate_pairs(
             None, cfg, sn=sn, state=state, work_new=work_new
-        )
+        ).persist()
         attrs = delta_attrs(state, work_new, pairs)
         scored = score_pairs_fused(
             pairs,
@@ -604,7 +614,7 @@ def resolve_entities_incremental(
             threshold=cfg.threshold,
             salt_buckets=cfg.salt_buckets,
         )
-        delta_edges = edges_from_scores(scored, threshold=cfg.threshold)
+        delta_edges = edges_from_scores(scored, threshold=cfg.threshold).persist()
         labels_touched, labels_rest = _touched_component_labels(
             delta_edges,
             labels_old,
@@ -643,7 +653,10 @@ def resolve_entities_incremental(
         threshold=cfg.threshold,
         salt_buckets=cfg.salt_buckets,
     )
-    delta_edges = edges_from_scores(scored, threshold=cfg.threshold)
+    # Persisted for the same reason as the state branch: the touched-entity
+    # CC consumes the edge relation several times (endpoint derivation +
+    # the CC seed), and it is delta-sized.
+    delta_edges = edges_from_scores(scored, threshold=cfg.threshold).persist()
 
     # CC over the touched components only — the catalog's untouched
     # entities keep their labels verbatim (same output, delta-proportional
