@@ -81,6 +81,22 @@ class PipelineRun:
     run_dir: str
 
 
+def catalog_entities_path(run_dir: str) -> str:
+    """The completed entities sink inside a pipeline run_dir.
+
+    Shared by the ``--delta`` CLI and the streaming ingest adapter so the
+    fallback order can never drift: a delta run writes ``entities_delta``,
+    a batch run ``entities``.
+    """
+    for ent in ("entities_delta", "entities"):
+        if (Path(run_dir) / ent / "_STAGE_DONE").exists():
+            return str(Path(run_dir) / ent)
+    raise ValueError(
+        f"{run_dir!r} holds no completed entities stage; it is not a "
+        "resolved catalog run_dir"
+    )
+
+
 # Bump whenever any stage's OUTPUT SCHEMA or on-disk semantics change: the
 # token is folded into every stage fingerprint, so --resume against a run_dir
 # written by older code rebuilds instead of loading a stale-schema checkpoint

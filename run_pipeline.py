@@ -118,16 +118,16 @@ def main(argv: list[str] | None = None) -> int:
         # checkpointed, and the run_dir becomes a valid state for the next
         # delta). Stages are fingerprinted and resumable (--resume).
         from codingchallenge_spark.plans import catalog_state as cstate
-        from codingchallenge_spark.plans.pipeline import run_delta_pipeline
+        from codingchallenge_spark.plans.pipeline import (
+            catalog_entities_path,
+            run_delta_pipeline,
+        )
 
         state = None
         catalog_path = args.input
         if args.format == "parquet" and cstate.has_state(args.input):
             state = cstate.load_catalog_state(spark, args.input)
-            for ent in ("entities_delta", "entities"):
-                if (Path(args.input) / ent / "_STAGE_DONE").exists():
-                    catalog_path = str(Path(args.input) / ent)
-                    break
+            catalog_path = catalog_entities_path(args.input)
         catalog = (
             spark.table(catalog_path) if args.format == "table"
             else spark.read.format(args.format).load(catalog_path)

@@ -133,17 +133,27 @@ def test_stream_restart_processes_only_new_files(
     assert ptr1 is not None and ptr1.endswith("batch-000000")
     markers_before = _stage_markers(ptr1)
     assert markers_before, "batch 0 left no stage markers"
+    norm_marker = str(Path(ptr1) / "normalize_delta" / "_STAGE_DONE")
 
     _land(src, "delta-b.parquet", db, t0 + 100)
     q2 = start_stream_ingest(spark, str(src), catalog_run, out, CFG)
     assert q2.awaitTermination(AWAIT_SECS)
     ptr2 = read_pointer(out)
     assert ptr2 is not None and ptr2.endswith("batch-000001")
-    # batch 0's sinks were not rebuilt by the restart
-    assert _stage_markers(ptr1) == markers_before
+    # superseded batch 0 was pruned down to its normalize_delta sink (still
+    # referenced by the state manifest's norm-path chain), NOT rebuilt:
+    m_after = _stage_markers(ptr1)
+    assert set(m_after) == {norm_marker}
+    assert m_after[norm_marker] == markers_before[norm_marker]
+    assert not (Path(ptr1) / "entities_delta").exists()
 
     final = spark.read.parquet(catalog_entities_path(ptr2))
     assert final.count() == len(cat) + len(da) + len(db)
+    # the pruned chain still loads as a valid catalog state
+    from codingchallenge_spark.plans import catalog_state as cstate
+
+    st = cstate.load_catalog_state(spark, ptr2)
+    assert st.norm.count() == len(cat) + len(da) + len(db)
 
 
 def test_ingest_batch_replay_and_empty(spark, corpus3, catalog_run, tmp_path):
@@ -176,6 +186,42 @@ def test_ingest_batch_replay_and_empty(spark, corpus3, catalog_run, tmp_path):
     res4 = ingest_batch(spark, empty, 1, out, catalog_run, CFG)
     assert res4.get("empty") and res4["run_dir"] is None
     assert read_pointer(out) == run_dir
+
+
+def test_out_dir_reuse_refused(spark, corpus3, catalog_run, tmp_path):
+    """A recreated streaming checkpoint over a used out_dir restarts batch
+    numbering over NEW files — both collision shapes must fail loudly
+    instead of silently serving the old batch's results."""
+    _, da, db = corpus3
+    pa, pb = tmp_path / "a.parquet", tmp_path / "b.parquet"
+    da.to_parquet(pa, index=False)
+    db.to_parquet(pb, index=False)
+    out = str(tmp_path / "out")
+
+    res = ingest_batch(spark, spark.read.parquet(str(pa)), 0, out, catalog_run, CFG)
+    assert res["executed"]
+
+    # pointer intact: digest mismatch on the completed batch
+    with pytest.raises(ValueError, match="DIFFERENT input-file set"):
+        ingest_batch(spark, spark.read.parquet(str(pb)), 0, out, catalog_run, CFG)
+
+    # pointer lost in the same scenario: the run_dir sentinel still refuses
+    Path(out, "CURRENT").unlink()
+    with pytest.raises(ValueError, match="different identity"):
+        ingest_batch(spark, spark.read.parquet(str(pb)), 0, out, catalog_run, CFG)
+
+
+def test_malformed_landed_file_fails_loudly(spark, corpus3, catalog_run, tmp_path):
+    """A landed file missing a required column must fail the batch (so its
+    offsets never commit), not silently ingest nulls."""
+    _, da, _ = corpus3
+    bad = da.drop(columns=["content"])
+    p = tmp_path / "bad.parquet"
+    bad.to_parquet(p, index=False)
+    # mirror the streaming read: enforced schema fills the column with nulls
+    bdf = spark.read.schema(RECORDS_SCHEMA).parquet(str(p))
+    with pytest.raises(ValueError, match="null required columns"):
+        ingest_batch(spark, bdf, 0, str(tmp_path / "out"), catalog_run, CFG)
 
 
 def test_start_requires_persisted_state(spark, tmp_path):
