@@ -13,26 +13,49 @@ pass the round-3 incremental path still paid:
   rid sets are disjoint after the idempotent anti-join, so document
   frequencies simply add; they never shrink under insertion, the property
   the incremental refinement contract already leans on).
-- ``sn_index`` / ``sn_bounds`` — the catalog's (name_norm, rid) sort order
-  materialized ONCE with global positions, range-bucketed: ``sn_index`` =
-  [bucket, rid(binary), name_norm, pos] written bucket-per-file (so a
-  bucket predicate prunes whole files via parquet min/max stats), and
+- ``sn_index`` / ``sn_bounds`` — the catalog's (name_norm, rid) sort order,
+  materialized ONCE and maintained BUCKET-LOCALLY. The stored relation is
+  [bucket, rid(binary), name_norm, lpos] with bucket-LOCAL positions, and
   ``sn_bounds`` = [bucket, n, start_pos, min_name, min_rid] — one row per
-  bucket, small enough to broadcast. A delta run range-joins its keys into
-  this order (plans.incremental.delta_sn_pairs) instead of re-sorting the
-  union corpus.
+  bucket, small enough to broadcast/collect. Global positions are derived
+  at read time as ``pos = start_pos + lpos − 1`` (:func:`resolve_sn_index`):
+  inserting keys into one bucket shifts the global positions of every later
+  bucket, but under the (bucket, lpos) decomposition that shift lives
+  ENTIRELY in the metadata-sized bounds table — the index rows of untouched
+  buckets never change. A delta run therefore (a) range-joins its keys into
+  this order for blocking (plans.incremental.delta_sn_pairs) instead of
+  re-sorting the union corpus, and (b) maintains the index by rewriting only
+  the buckets its keys land in (:func:`merge_sn_buckets`) — cost
+  ≤ |touched buckets| · bucket size, never a corpus re-sort.
+
+- ``labels`` — the catalog's resolved (rid, entity_id) assignment, as an
+  overlay CHAIN of per-batch upsert sets ("latest element containing a rid
+  wins", :func:`_read_labels_chain`). This is what makes ``emit="delta"``
+  runs chainable (VERDICT r04 #3 / ADVICE r04): the next delta's
+  ``labels_old`` is the resolved chain, NOT the previous run's entities
+  parquet — so a maintained delta run writes ONLY delta-sized relations
+  (its upsert labels are exactly the cc_delta stage it already persists;
+  untouched rids keep their label by never being re-written).
 
 On disk the state lives inside a pipeline run_dir next to the stage sinks,
-plus a ``state.json`` manifest listing the normalize-stage parquet paths
-(a CHAIN: a maintained delta run appends its own delta-normalize path
-instead of rewriting the corpus — the full normalized relation is the union
-of the chain, which is what :func:`load_catalog_state` reads back).
+plus a ``state.json`` manifest listing (a) the normalize-stage parquet
+paths, (b) the ``sn_chain`` — the sn_index overlay chain — and (c) the
+``labels_chain``. All three are CHAINS: a maintained delta run appends its
+own delta-normalize path, its touched-bucket index element, and its
+touched-label element instead of rewriting the corpus. The full normalized
+relation is the union of the norm chain; the full index is resolved per
+bucket by "latest chain element covering that bucket wins"
+(:func:`_read_sn_chain`); the full label assignment by "latest element
+containing the rid wins". :func:`compact_state` folds long chains back into
+single elements at whatever cadence the operator picks.
 
 Production shape: at 10^12 files ``sn_index`` buckets would be sized to
-~64k rows (here: defaultParallelism buckets — a knob), and index maintenance
-would ride the table format's compaction (Iceberg sort orders / LSM merge);
-the rewrite in :func:`updated_sn_index` is a narrow 3-column relation,
-never content.
+~64k rows (here: defaultParallelism buckets — a knob), bucket splits and
+chain compaction would ride the table format's maintenance (Iceberg
+rewrite_data_files / LSM merge), and the collected bounds table would be a
+broadcast variable. The bucket-local merge below is the real maintenance
+shape at that scale: per batch it touches ≤ |delta| buckets and the
+metadata-sized bounds relation, nothing corpus-proportional.
 """
 
 from __future__ import annotations
@@ -41,11 +64,17 @@ import json
 from dataclasses import dataclass
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, Window
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 STATE_MANIFEST = "state.json"
-STATE_VERSION = 1
+# v2: sn_index stored with bucket-LOCAL positions + manifest sn_chain
+# (round 5 — bucket-local maintenance). v1 run_dirs (global-pos index, no
+# chain) are refused with a rebuild hint: silently resolving them would
+# mix incompatible position semantics.
+STATE_VERSION = 2
 
 
 @dataclass
@@ -54,9 +83,13 @@ class CatalogState:
 
     norm: DataFrame  # normalize-stage rows (full cols + name_norm/tokens/th/rid_b)
     token_df: DataFrame  # (tok, df)
-    sn_index: DataFrame  # (bucket, rid: binary, name_norm, pos)
+    sn_index: DataFrame  # RESOLVED view: (bucket, rid: binary, name_norm, pos)
     sn_bounds: DataFrame  # (bucket, n, start_pos, min_name, min_rid) — tiny
+    sn_stored: DataFrame | None = None  # stored form: (bucket, rid, name_norm, lpos)
+    labels: DataFrame | None = None  # resolved (rid, entity_id), BINARY keys
     norm_paths: list[str] | None = None  # manifest chain (None when in-memory)
+    sn_chain: list[dict] | None = None  # [{"path": str, "buckets": None|[int]}]
+    labels_chain: list[str] | None = None  # overlay: newest element wins per rid
 
 
 def build_token_df(norm: DataFrame) -> DataFrame:
@@ -69,15 +102,39 @@ def build_token_df(norm: DataFrame) -> DataFrame:
     )
 
 
+def _with_start_pos(parts: DataFrame) -> DataFrame:
+    """start_pos = 1 + rows in all prior buckets, over a METADATA-sized
+    per-bucket stats relation (bucket, n, min_name, min_rid) — a non-equi
+    self-join over ≤ num_buckets rows, never a data pass."""
+    prior = parts.select(F.col("bucket").alias("q"), F.col("n").alias("qn"))
+    return (
+        parts.join(F.broadcast(prior), F.col("q") < F.col("bucket"), "left")
+        .groupBy("bucket", "n", "min_name", "min_rid")
+        .agg((F.coalesce(F.sum("qn"), F.lit(0)) + 1).alias("start_pos"))
+        .select("bucket", "n", "start_pos", "min_name", "min_rid")
+    )
+
+
+def _bucket_stats(stored: DataFrame) -> DataFrame:
+    """Per-bucket (n, min_name, min_rid) from a stored-form index relation —
+    consistent with it by construction (min at lpos = 1)."""
+    return stored.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min_by("name_norm", "lpos").alias("min_name"),
+        F.min_by("rid", "lpos").alias("min_rid"),
+    )
+
+
 def build_sn_index(
     norm: DataFrame, num_buckets: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
-    """Materialize the catalog's global (name_norm, rid) order.
+    """Materialize the catalog's (name_norm, rid) order in STORED form.
 
     One range sort — paid at CATALOG BUILD time, never per delta. Returns
-    (sn_index, sn_bounds); positions are 1-based and globally exact
-    regardless of how balanced the range buckets came out (start offsets are
-    computed from real per-bucket counts, not assumed).
+    (sn_stored, sn_bounds): sn_stored = [bucket, rid, name_norm, lpos] with
+    bucket-local 1-based positions; global positions are exact for any
+    bucket balance because bounds' start offsets come from real per-bucket
+    counts (:func:`_with_start_pos`), applied by :func:`resolve_sn_index`.
 
     The bucketed relation is pinned with a lazy localCheckpoint for the same
     reason as operators.blocking.sorted_neighborhood: repartitionByRange
@@ -93,42 +150,32 @@ def build_sn_index(
         .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("bucket").orderBy("name_norm", "rid")
-    local = bucketed.withColumn("lpos", F.row_number().over(w))
-    key = F.struct(F.col("name_norm"), F.col("rid"))
-    parts = bucketed.groupBy("bucket").agg(
-        F.count("*").alias("n"),
-        F.min_by("name_norm", key).alias("min_name"),
-        F.min_by("rid", key).alias("min_rid"),
+    stored = bucketed.withColumn("lpos", F.row_number().over(w)).select(
+        "bucket", "rid", "name_norm", "lpos"
     )
-    # start_pos = 1 + rows in all prior buckets: non-equi self-join over the
-    # metadata-sized bucket table (≤ num_buckets rows — no global window).
-    prior = parts.select(F.col("bucket").alias("q"), F.col("n").alias("qn"))
-    bounds = (
-        parts.join(F.broadcast(prior), F.col("q") < F.col("bucket"), "left")
-        .groupBy("bucket", "n", "min_name", "min_rid")
-        .agg((F.coalesce(F.sum("qn"), F.lit(0)) + 1).alias("start_pos"))
-        .select("bucket", "n", "start_pos", "min_name", "min_rid")
-    )
-    sn_index = local.join(F.broadcast(bounds.select("bucket", "start_pos")), "bucket").select(
+    return stored, _with_start_pos(_bucket_stats(stored))
+
+
+def resolve_sn_index(stored: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Stored form → the logical (bucket, rid, name_norm, pos) view with
+    GLOBAL positions: pos = start_pos + lpos − 1, via a broadcast join on
+    the metadata-sized bounds table."""
+    return stored.join(
+        F.broadcast(bounds.select("bucket", "start_pos")), "bucket"
+    ).select(
         "bucket",
         "rid",
         "name_norm",
         (F.col("start_pos") + F.col("lpos") - 1).alias("pos"),
     )
-    return sn_index, bounds
 
 
-def bounds_from_index(sn_index: DataFrame) -> DataFrame:
-    """Derive ``sn_bounds`` from a PERSISTED ``sn_index`` — used by the
-    pipeline's stage sinks so bounds and index provably describe the same
-    materialization (two independent build_sn_index calls could sample
+def bounds_from_index(sn_stored: DataFrame) -> DataFrame:
+    """Derive ``sn_bounds`` from a PERSISTED stored-form ``sn_index`` — used
+    by the pipeline's stage sinks so bounds and index provably describe the
+    same materialization (two independent build_sn_index calls could sample
     different range boundaries; a parquet-backed index cannot)."""
-    return sn_index.groupBy("bucket").agg(
-        F.count("*").alias("n"),
-        F.min("pos").alias("start_pos"),
-        F.min_by("name_norm", "pos").alias("min_name"),
-        F.min_by("rid", "pos").alias("min_rid"),
-    )
+    return _with_start_pos(_bucket_stats(sn_stored))
 
 
 def updated_token_df(token_df: DataFrame, delta_norm: DataFrame) -> DataFrame:
@@ -143,52 +190,352 @@ def updated_token_df(token_df: DataFrame, delta_norm: DataFrame) -> DataFrame:
     )
 
 
-def updated_sn_index(
-    state: "CatalogState", delta_norm: DataFrame, num_buckets: int | None = None
-) -> tuple[DataFrame, DataFrame]:
-    """Rebuild the key index over catalog ∪ delta keys.
+# ---------------------------------------------------------------------------
+# Collected bounds + vectorized bucket assignment (shared by the delta SN
+# query path in plans.incremental and the maintenance path below).
+# ---------------------------------------------------------------------------
 
-    A 3-column narrow-key merge (positions shift under insertion, so a
-    rewrite is semantically required); the CONTENT corpus is never touched.
-    Production would fold this into table-format compaction.
+
+def _encode_key(name: str, rid: bytes) -> bytes:
+    """(name_norm, rid) → one byte string whose lexicographic order equals
+    Spark's (string, binary) struct order: Spark compares strings by UTF-8
+    bytes and binary bytewise, and the \\x00 separator sorts below every
+    byte name_norm can contain (normalize.name_norm emits only lowercase
+    alphanumerics and spaces), so prefix cases order identically."""
+    return name.encode("utf-8") + b"\x00" + bytes(rid)
+
+
+@dataclass
+class BoundsIndex:
+    """Driver-collected ``sn_bounds`` (≤ num_buckets rows — the same bounded
+    collect precedent as operators.ann's centroid table; at production
+    bucket counts this becomes a broadcast variable), sorted by bucket min
+    key, ready for O(log B) vectorized binary search. Replaces the
+    BroadcastNestedLoopJoin forms (VERDICT r04 #4): the non-equi join
+    ``bmin <= k`` cost ~B/2 comparisons per delta key — free at 32 buckets,
+    a scale-killer at the ~10^7 buckets 10^12 files imply."""
+
+    keys: np.ndarray  # object array of encoded (min_name, min_rid) keys
+    buckets: np.ndarray  # int64 bucket ids, same order
+    starts: np.ndarray  # int64 start_pos, ascending
+    ends: np.ndarray  # int64 inclusive end positions
+
+    def __len__(self) -> int:  # pragma: no cover - trivial
+        return len(self.buckets)
+
+
+def collect_bounds(sn_bounds: DataFrame) -> BoundsIndex:
+    rows = sn_bounds.select(
+        "bucket", "n", "start_pos", "min_name", "min_rid"
+    ).collect()
+    rows.sort(key=lambda r: r.start_pos)
+    return BoundsIndex(
+        keys=np.array(
+            [_encode_key(r.min_name, r.min_rid) for r in rows], dtype=object
+        ),
+        buckets=np.array([r.bucket for r in rows], dtype="int64"),
+        starts=np.array([r.start_pos for r in rows], dtype="int64"),
+        ends=np.array([r.start_pos + r.n - 1 for r in rows], dtype="int64"),
+    )
+
+
+def bucket_of_column(bidx: BoundsIndex) -> "callable":
+    """Vectorized containing-bucket assignment: max bucket whose min key ≤ k
+    (keys below every minimum land in the first bucket — same contract as
+    the join form it replaces). Arrow-batched pandas UDF, np.searchsorted —
+    O(log B) per key, no nested-loop join in the plan."""
+    keys, buckets = bidx.keys, bidx.buckets
+
+    @F.pandas_udf("int")
+    def _bucket_of(name: pd.Series, rid: pd.Series) -> pd.Series:
+        enc = np.array(
+            [_encode_key(n, r) for n, r in zip(name, rid)], dtype=object
+        )
+        idx = np.maximum(np.searchsorted(keys, enc, side="right") - 1, 0)
+        return pd.Series(buckets[idx], dtype="int32")
+
+    return _bucket_of
+
+
+def overlap_buckets_column(bidx: BoundsIndex) -> "callable":
+    """Vectorized interval→buckets: ids of every bucket whose position range
+    [start_pos, start_pos + n − 1] overlaps [lo, hi]. Bucket ranges tile
+    1..N contiguously (positions are exact counts), so the overlap set is a
+    contiguous index range found by two binary searches."""
+    buckets, starts, ends = bidx.buckets, bidx.starts, bidx.ends
+
+    @F.pandas_udf("array<int>")
+    def _overlap(lo: pd.Series, hi: pd.Series) -> pd.Series:
+        lo_v, hi_v = lo.to_numpy("int64"), hi.to_numpy("int64")
+        i0 = np.searchsorted(starts, lo_v, side="right") - 1
+        i1 = np.searchsorted(starts, hi_v, side="right") - 1
+        out = []
+        for a, b, l in zip(i0, i1, lo_v):
+            if b < 0:  # interval entirely below the first bucket
+                out.append([])
+                continue
+            a = max(int(a), 0)
+            if ends[a] < l:  # lo falls in the gap-free next bucket
+                a += 1
+            out.append([int(x) for x in buckets[a : int(b) + 1]] if a <= b else [])
+        return pd.Series(out)
+
+    return _overlap
+
+
+def assign_buckets(delta_keys: DataFrame, bidx: BoundsIndex) -> DataFrame:
+    """[rid, name_norm] → [rid, name_norm, bucket]. Empty catalog (no bounds
+    rows) degrades to bucket 0 for every key — downstream then computes
+    ins = 0, i.e. plain SN over the delta alone."""
+    if len(bidx) == 0:
+        return delta_keys.select(
+            "rid", "name_norm", F.lit(0).cast("int").alias("bucket")
+        )
+    f = bucket_of_column(bidx)
+    return delta_keys.select(
+        "rid", "name_norm", f(F.col("name_norm"), F.col("rid")).alias("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucket-local maintenance (VERDICT r04 #2: no full-corpus re-sort per delta)
+# ---------------------------------------------------------------------------
+
+
+def merge_sn_buckets(state: "CatalogState", delta_norm: DataFrame) -> DataFrame:
+    """Merge delta keys into ONLY the buckets they land in.
+
+    Returns the merged TOUCHED buckets in stored form (bucket, rid,
+    name_norm, lpos) — the new sn_chain element. Untouched buckets are never
+    read or rewritten: their rows' (bucket, lpos) are insertion-invariant;
+    the global-position shift an insertion causes lives entirely in the
+    recomputed bounds table (:func:`merged_bounds`).
+
+    Cost: |delta| key assignments (binary search) + one hash exchange and
+    per-bucket sort over |touched buckets| · bucket rows — delta-
+    proportional for bounded bucket sizes (the production invariant; bucket
+    splits ride table-format compaction). The plan contains no
+    rangepartitioning and scans the index with a bucket IN (...) filter
+    (plan-gated in tests/test_incremental_state.py).
+
+    Exactness: global (name_norm, rid) order = bucket order then local
+    order, because a delta key's containing bucket is the max bucket with
+    min ≤ key — so every merged bucket still holds a contiguous key range,
+    and :func:`resolve_sn_index` over (merged ∪ untouched, new bounds)
+    equals a from-scratch rebuild's positions (property-tested).
     """
-    keys = state.sn_index.select("rid", "name_norm").unionByName(
-        delta_norm.select(F.col("rid_b").alias("rid"), "name_norm")
+    if state.sn_stored is None:
+        raise ValueError(
+            "merge_sn_buckets needs the stored-form index (state.sn_stored); "
+            "in-memory states built without one cannot be maintained"
+        )
+    delta_keys = delta_norm.select(F.col("rid_b").alias("rid"), "name_norm")
+    bidx = collect_bounds(state.sn_bounds)
+    assigned = assign_buckets(delta_keys, bidx)
+    # Touched-bucket ids: bounded by min(|delta|, num_buckets) — collected so
+    # the isin literal prunes the stored scan at plan-build time.
+    touched = sorted(
+        r.bucket for r in assigned.select("bucket").distinct().collect()
     )
-    return build_sn_index(
-        keys.withColumnRenamed("rid", "rid_b"), num_buckets=num_buckets
+    old_rows = state.sn_stored.filter(F.col("bucket").isin(touched)).select(
+        "bucket", "rid", "name_norm"
     )
+    merged = old_rows.unionByName(assigned.select("bucket", "rid", "name_norm"))
+    w = Window.partitionBy("bucket").orderBy("name_norm", "rid")
+    return merged.withColumn("lpos", F.row_number().over(w))
 
 
-def write_state_manifest(run_dir: str, norm_paths: list[str]) -> None:
-    payload = {"version": STATE_VERSION, "norm_paths": norm_paths}
+def merged_bounds(old_bounds: DataFrame, touched_stored: DataFrame) -> DataFrame:
+    """New bounds after a bucket-local merge: untouched buckets keep their
+    (n, min) stats, touched buckets take theirs from the PERSISTED merged
+    element, and start offsets are re-prefix-summed — all on the
+    metadata-sized bounds relation, no corpus pass."""
+    t_stats = _bucket_stats(touched_stored)
+    untouched = old_bounds.select("bucket", "n", "min_name", "min_rid").join(
+        t_stats.select("bucket"), "bucket", "left_anti"
+    )
+    return _with_start_pos(untouched.unionByName(t_stats))
+
+
+# ---------------------------------------------------------------------------
+# Manifest + load/compact
+# ---------------------------------------------------------------------------
+
+
+def write_state_manifest(
+    run_dir: str,
+    norm_paths: list[str],
+    sn_chain: list[dict],
+    labels_chain: list[str],
+    emit: str = "full",
+) -> None:
+    """``emit`` is RECORDED so consumers can tell a delta-emit run_dir's
+    partial entities sink from a full one (ADVICE r04 — chaining itself no
+    longer cares, it reads the labels chain)."""
+    payload = {
+        "version": STATE_VERSION,
+        "norm_paths": norm_paths,
+        "sn_chain": sn_chain,
+        "labels_chain": labels_chain,
+        "emit": emit,
+    }
     (Path(run_dir) / STATE_MANIFEST).write_text(json.dumps(payload, indent=1))
+
+
+def manifest_emit(run_dir: str) -> str | None:
+    """The recorded emit mode of a run_dir's state manifest (None when the
+    run_dir has no state)."""
+    p = Path(run_dir) / STATE_MANIFEST
+    if not p.exists():
+        return None
+    return json.loads(p.read_text()).get("emit", "full")
 
 
 def has_state(run_dir: str) -> bool:
     return (Path(run_dir) / STATE_MANIFEST).exists()
 
 
+def _read_sn_chain(spark: SparkSession, sn_chain: list[dict]) -> DataFrame:
+    """Resolve the overlay chain: the LATEST element covering a bucket wins.
+
+    Walks newest→oldest accumulating shadowed bucket ids; each element
+    contributes its rows minus later-shadowed buckets; an element with
+    ``buckets: null`` covers everything older (the base — walk stops).
+    The anti-filter is a literal NOT IN over the (bounded, compacted-away)
+    set of later-touched buckets, prunable at the parquet scan.
+    """
+    parts: list[DataFrame] = []
+    shadowed: set[int] = set()
+    for entry in reversed(sn_chain):
+        df = spark.read.parquet(entry["path"])
+        if shadowed:
+            df = df.filter(~F.col("bucket").isin(sorted(shadowed)))
+        parts.append(df)
+        if entry["buckets"] is None:
+            break  # base element: everything older is fully shadowed
+        shadowed |= set(entry["buckets"])
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _read_labels_chain(spark: SparkSession, labels_chain: list[str]) -> DataFrame:
+    """Resolve the labels overlay: the LATEST element containing a rid wins.
+
+    Walks newest→oldest; each element contributes its (rid, entity_id) rows
+    minus rids any newer element already re-labeled. Newer elements are
+    delta-sized upsert sets, so every anti-join's build side is small (AQE
+    broadcasts it); only the base element is corpus-sized, scanned narrow
+    (two binary columns). There are no deletes in this pipeline, so
+    newest-wins needs no tombstones. Chain depth is bounded by
+    :func:`compact_state`.
+    """
+    out: DataFrame | None = None
+    newer_rids: DataFrame | None = None
+    for path in reversed(labels_chain):
+        df = spark.read.parquet(path).select("rid", "entity_id")
+        if newer_rids is not None:
+            df = df.join(newer_rids, "rid", "left_anti")
+        out = df if out is None else out.unionByName(df)
+        rids = spark.read.parquet(path).select("rid")
+        newer_rids = (
+            rids if newer_rids is None else newer_rids.unionByName(rids)
+        )
+    if out is None:
+        raise ValueError("empty labels_chain")
+    return out
+
+
 def load_catalog_state(spark: SparkSession, run_dir: str) -> CatalogState:
     """Read a persisted state (batch run_dir or maintained delta run_dir)."""
     manifest = json.loads((Path(run_dir) / STATE_MANIFEST).read_text())
+    if manifest.get("version", 1) < STATE_VERSION or "labels_chain" not in manifest:
+        raise ValueError(
+            f"{run_dir!r} holds a pre-v{STATE_VERSION} catalog state "
+            "(global-position sn_index, no sn/labels chain) — rebuild the "
+            "catalog with the current pipeline (run_pipeline) before "
+            "chaining deltas"
+        )
     norm_paths = manifest["norm_paths"]
+    sn_chain = manifest["sn_chain"]
+    labels_chain = manifest["labels_chain"]
+    stored = _read_sn_chain(spark, sn_chain)
+    bounds = spark.read.parquet(str(Path(run_dir) / "sn_bounds"))
     return CatalogState(
         norm=spark.read.parquet(*norm_paths),
         token_df=spark.read.parquet(str(Path(run_dir) / "token_df")),
-        sn_index=spark.read.parquet(str(Path(run_dir) / "sn_index")),
-        sn_bounds=spark.read.parquet(str(Path(run_dir) / "sn_bounds")),
+        sn_index=resolve_sn_index(stored, bounds),
+        sn_bounds=bounds,
+        sn_stored=stored,
+        labels=_read_labels_chain(spark, labels_chain),
         norm_paths=norm_paths,
+        sn_chain=sn_chain,
+        labels_chain=labels_chain,
     )
 
 
 def state_from_norm(norm: DataFrame, num_buckets: int | None = None) -> CatalogState:
     """In-memory state from a normalized catalog (tests / ad-hoc use; the
     pipeline persists the same three relations as stages)."""
-    sn_index, sn_bounds = build_sn_index(norm, num_buckets=num_buckets)
+    stored, bounds = build_sn_index(norm, num_buckets=num_buckets)
     return CatalogState(
         norm=norm,
         token_df=build_token_df(norm),
-        sn_index=sn_index,
-        sn_bounds=sn_bounds,
+        sn_index=resolve_sn_index(stored, bounds),
+        sn_bounds=bounds,
+        sn_stored=stored,
     )
+
+
+def compact_state(
+    spark: SparkSession,
+    run_dir: str,
+    out_dir: str,
+    num_buckets: int | None = None,
+) -> str:
+    """Fold a state's chains back into single elements — the periodic
+    corpus-proportional event that bounds every per-batch cost.
+
+    Reads the state at ``run_dir`` and writes ``out_dir`` as a fresh,
+    chain-length-1 catalog state: one normalize parquet (the folded norm
+    chain), one RE-BUCKETED sn_index (build_sn_index over the folded norm —
+    compaction is where bucket balance is restored after many bucket-local
+    merges, the same role Iceberg's rewrite_data_files / an LSM major merge
+    plays), fresh bounds derived from the persisted index, the maintained
+    token_df copied through, and the labels chain resolved to one relation.
+    Everything older becomes unreferenced — a streaming deployment deletes
+    the superseded batch run_dirs afterwards (streaming.ingest does).
+
+    Cost: one corpus read+write per relation, paid at the operator-chosen
+    cadence and amortized over the batches between compactions; every
+    per-batch cost stays delta-proportional because this exists.
+    """
+    state = load_catalog_state(spark, run_dir)
+    out = Path(out_dir)
+    if out.exists() and any(out.iterdir()):
+        raise ValueError(f"compact_state target {out_dir!r} is not empty")
+    out.mkdir(parents=True, exist_ok=True)
+
+    norm_path = str(out / "normalize")
+    state.norm.write.parquet(norm_path)
+    normp = spark.read.parquet(norm_path)
+
+    stored, _ = build_sn_index(normp, num_buckets=num_buckets)
+    idx_path = str(out / "sn_index")
+    stored.write.parquet(idx_path)
+    idxp = spark.read.parquet(idx_path)
+    bounds_from_index(idxp).write.parquet(str(out / "sn_bounds"))
+
+    state.token_df.write.parquet(str(out / "token_df"))
+    labels_path = str(out / "labels")
+    state.labels.write.parquet(labels_path)
+
+    write_state_manifest(
+        str(out),
+        [norm_path],
+        sn_chain=[{"path": idx_path, "buckets": None}],
+        labels_chain=[labels_path],
+        emit="full",
+    )
+    return str(out)

@@ -80,6 +80,7 @@ from codingchallenge_spark.operators.scoring import (
     edges_from_scores,
     score_pairs_fused,
 )
+from codingchallenge_spark.plans import catalog_state as cstate
 from codingchallenge_spark.plans.catalog_state import CatalogState, build_token_df
 from codingchallenge_spark.plans.matcher import MatcherConfig, emit_entities
 from codingchallenge_spark.sources.records import INPUT_COLUMNS
@@ -187,31 +188,22 @@ def _delta_sn_candidates(
     where [left, right] encode the merged-order gap rule (see
     :func:`delta_sn_pairs`). Exposed for the delta-proportionality test
     (|S| ≤ |delta| · (2·window − 1))."""
-    # sn_bounds may be DERIVED from sn_index (catalog_state.bounds_from_index)
-    # — re-alias every bounds column to a fresh name so the joins below are
-    # never ambiguous self-joins against the index.
+    # Containing bucket (max bucket whose min key ≤ k; keys below every
+    # minimum fall into the first bucket): binary search over the
+    # driver-collected bounds table (catalog_state.BoundsIndex) — VERDICT
+    # r04 #4 replaced the BroadcastNestedLoopJoin forms (bmin <= k and the
+    # interval-overlap theta join below), whose ~B/2 comparisons per delta
+    # key were free at 32 buckets and quadratic death at production bucket
+    # counts, with O(log B) vectorized searchsorted (plan-gated: no BNLJ
+    # node in this derivation).
+    bidx = cstate.collect_bounds(state.sn_bounds)
+    assigned = cstate.assign_buckets(delta_keys, bidx)
+    # ins_keys below still needs start_pos by bucket — a broadcast HASH join
+    # on the metadata-sized bounds relation (aliased so joins against a
+    # bounds derived from the index are never ambiguous self-joins).
     bounds = state.sn_bounds.select(
         F.col("bucket").alias("_bb"),
-        F.col("n").alias("_bn"),
         F.col("start_pos").alias("_bstart"),
-        F.col("min_name").alias("_bmn"),
-        F.col("min_rid").alias("_bmr"),
-    )
-    # Struct comparison needs identical field names/types on both sides.
-    k = F.struct(F.col("name_norm").alias("kn"), F.col("rid").alias("kr"))
-    bmin = F.struct(F.col("_bmn").alias("kn"), F.col("_bmr").alias("kr"))
-    # Containing bucket: max bucket whose min key ≤ k; keys below every
-    # bucket minimum fall into the first bucket (ins lands at 0 there).
-    assigned = (
-        delta_keys.join(F.broadcast(bounds), bmin <= k, "left")
-        .groupBy(delta_keys["rid"], delta_keys["name_norm"])
-        .agg(F.max("_bb").alias("_ab"))
-        .join(
-            F.broadcast(bounds.agg(F.min("_bb").alias("_fb"))),
-        )
-        .select(
-            "rid", "name_norm", F.coalesce("_ab", F.col("_fb")).alias("bucket")
-        )
     )
     touched = assigned.select("bucket").distinct()
     idx_t = state.sn_index.join(
@@ -259,21 +251,26 @@ def _delta_sn_candidates(
         )
     )
     # Candidate old rows: pos ∈ [ins − (w−2), ins + (w−1)] for some delta
-    # key. Buckets overlapping each interval come from the broadcast bounds
-    # (handles windows spanning bucket edges and buckets smaller than the
-    # window); the index join is hash on bucket + residual pos-range filter.
+    # key. Buckets overlapping each interval come from two binary searches
+    # over the collected bounds (bucket position ranges tile 1..N
+    # contiguously — catalog_state.overlap_buckets_column; handles windows
+    # spanning bucket edges and buckets smaller than the window); the index
+    # join stays hash on bucket + residual pos-range filter.
     ivals = ins_keys.select(
         (F.col("ins") - (window - 2)).alias("lo"),
         (F.col("ins") + (window - 1)).alias("hi"),
     ).distinct()
-    ival_buckets = (
-        ivals.join(
-            F.broadcast(bounds),
-            (F.col("_bstart") <= F.col("hi"))
-            & (F.col("_bstart") + F.col("_bn") - 1 >= F.col("lo")),
+    if len(bidx):
+        _overlap = cstate.overlap_buckets_column(bidx)
+        ival_buckets = ivals.select(
+            F.explode(_overlap(F.col("lo"), F.col("hi"))).alias("_ib"),
+            "lo",
+            "hi",
         )
-        .select(F.col("_bb").alias("_ib"), "lo", "hi")
-    )
+    else:  # empty catalog: no buckets can overlap anything
+        ival_buckets = ivals.select(
+            F.lit(0).alias("_ib"), "lo", "hi"
+        ).filter(F.lit(False))
     cands = (
         state.sn_index.join(
             F.broadcast(ival_buckets),
@@ -483,41 +480,44 @@ def delta_attrs(
     """Scoring attribute side for a delta run: catalog ∪ delta narrow attrs
     pre-filtered to rids that actually appear in a candidate pair (semi join
     — AQE broadcasts the delta-proportional rid set; the catalog side is
-    scanned narrow, never shuffled corpus-wide)."""
+    scanned narrow, never shuffled corpus-wide). ``th32`` rides along when
+    both sides carry it (a catalog persisted with int32_prefilter), so the
+    scoring prefilter branch engages in delta runs too."""
     touched_rids = (
         pairs.select(F.col("rid1").alias("rid"))
         .unionByName(pairs.select(F.col("rid2").alias("rid")))
         .distinct()
     )
+    attr_cols = ["name_norm", "th"] + (
+        ["th32"]
+        if "th32" in state.norm.columns and "th32" in work_new.columns
+        else []
+    )
     return (
-        state.norm.select(F.col("rid_b").alias("rid"), "name_norm", "th")
-        .unionByName(work_new.select("rid", "name_norm", "th"))
+        state.norm.select(F.col("rid_b").alias("rid"), *attr_cols)
+        .unionByName(work_new.select("rid", *attr_cols))
         .join(touched_rids, "rid", "left_semi")
     )
 
 
 def _touched_component_labels(
     delta_edges: DataFrame,
-    labels_old: DataFrame,
+    labels_old_b: DataFrame,
     new_rids: DataFrame,
     max_iterations: int,
 ) -> tuple[DataFrame, DataFrame]:
     """CC restricted to the components a delta edge can change.
 
     Only entities with a member incident to a delta edge can merge or gain
-    members; everything else keeps its catalog label verbatim. Returns
-    (labels_touched, labels_rest_binary): labels_touched covers new rids +
-    members of touched catalog entities (CC output, binary rid/entity);
-    labels_rest_binary is the untouched remainder of the catalog, converted
-    to binary keys for the emit join. Cost: CC input is delta-proportional
-    (delta edges + touched-entity star edges) instead of corpus-proportional
-    star edges for EVERY catalog entity.
+    members; everything else keeps its catalog label verbatim.
+    ``labels_old_b`` carries BINARY (rid, entity_id) — hex-keyed callers
+    convert with guarded_unhex first. Returns (labels_touched,
+    labels_rest_binary): labels_touched covers new rids + members of touched
+    catalog entities (CC output, binary rid/entity); labels_rest_binary is
+    the untouched remainder of the catalog. Cost: CC input is
+    delta-proportional (delta edges + touched-entity star edges) instead of
+    corpus-proportional star edges for EVERY catalog entity.
     """
-    ctx = "resolve_entities_incremental: catalog"
-    labels_old_b = labels_old.select(
-        guarded_unhex("rid", ctx).alias("rid"),
-        guarded_unhex("entity_id", ctx).alias("entity_id"),
-    )
     ends = (
         delta_edges.select(F.col("src").alias("rid"))
         .unionByName(delta_edges.select(F.col("dst").alias("rid")))
@@ -572,6 +572,15 @@ def resolve_entities_incremental(
     parallelism = spark.sparkContext.defaultParallelism
 
     labels_old = catalog.select("rid", "entity_id")
+    # guarded_unhex raises on malformed catalog ids instead of silently
+    # nulling: F.unhex of a malformed id returns NULL, _canon_edges would
+    # then DROP the star edge and the old entity would silently split — the
+    # exact failure mode a foreign/corrupted catalog must surface instead.
+    _ctx = "resolve_entities_incremental: catalog"
+    labels_old_b = labels_old.select(
+        guarded_unhex("rid", _ctx).alias("rid"),
+        guarded_unhex("entity_id", _ctx).alias("entity_id"),
+    )
     # Idempotent ingest: delta rows whose natural key already exists in the
     # catalog are dropped (the catalog row wins). rid is derived from the
     # natural key, so one left_anti on rid is the whole check. The same key
@@ -585,16 +594,30 @@ def resolve_entities_incremental(
 
     if state is not None:
         # Delta-proportional path: only the delta is normalized/persisted;
-        # the catalog contributes its PERSISTED narrow columns.
+        # the catalog contributes its PERSISTED narrow columns. The delta's
+        # derived-column set follows the STATE's schema, not cfg: a catalog
+        # persisted with int32_prefilter carries th32, and the norm-chain
+        # union below requires the delta to carry it too (without this the
+        # unionByName on state.norm.columns raises — ADVICE r04).
         norm_new = (
             with_token_hashes(norm_new)
             .withColumn("rid_b", F.unhex("rid"))
         )
+        if "th32" in state.norm.columns:
+            from codingchallenge_spark.functions.normalize import (
+                with_token_hashes32,
+            )
+
+            norm_new = with_token_hashes32(norm_new)
         if norm_new.rdd.getNumPartitions() < parallelism:
             norm_new = norm_new.repartition(parallelism)
         norm_new = norm_new.persist()
         work_new = norm_new.select(
-            F.col("rid_b").alias("rid"), "name_norm", "tokens", "th"
+            F.col("rid_b").alias("rid"),
+            "name_norm",
+            "tokens",
+            "th",
+            *(["th32"] if "th32" in norm_new.columns else []),
         )
         # The delta-proportional intermediates are persisted: `pairs` feeds
         # the touched-rid derivation AND both attribute fan-in sides, and
@@ -617,7 +640,7 @@ def resolve_entities_incremental(
         delta_edges = edges_from_scores(scored, threshold=cfg.threshold).persist()
         labels_touched, labels_rest = _touched_component_labels(
             delta_edges,
-            labels_old,
+            labels_old_b,
             new_rids=work_new.select("rid"),
             max_iterations=cfg.cc_max_iterations,
         )
@@ -629,20 +652,29 @@ def resolve_entities_incremental(
         )
 
     norm_old = normalize_records(catalog.select(*INPUT_COLUMNS))
-    norm = (
-        with_token_hashes(
-            norm_old.withColumn("is_new", F.lit(False)).unionByName(
-                norm_new.withColumn("is_new", F.lit(True))
-            )
+    norm = with_token_hashes(
+        norm_old.withColumn("is_new", F.lit(False)).unionByName(
+            norm_new.withColumn("is_new", F.lit(True))
         )
-        .withColumn("rid_b", F.unhex("rid"))
     )
+    if cfg.int32_prefilter:
+        from codingchallenge_spark.functions.normalize import (
+            with_token_hashes32,
+        )
+
+        norm = with_token_hashes32(norm)
+    norm = norm.withColumn("rid_b", F.unhex("rid"))
     # Same partition floor + persist-once rationale as plans.matcher.
     if norm.rdd.getNumPartitions() < parallelism:
         norm = norm.repartition(parallelism)
     norm = norm.persist()
     work = norm.select(
-        F.col("rid_b").alias("rid"), "name_norm", "tokens", "th", "is_new"
+        F.col("rid_b").alias("rid"),
+        "name_norm",
+        "tokens",
+        "th",
+        "is_new",
+        *(["th32"] if cfg.int32_prefilter else []),
     )
 
     pairs = incremental_candidate_pairs(work, cfg, sn=sn)
@@ -662,13 +694,9 @@ def resolve_entities_incremental(
     # entities keep their labels verbatim (same output, delta-proportional
     # CC input; the star edges of touched entities keep old clusters
     # connected and a delta edge landing in two stars merges them).
-    # guarded_unhex raises on malformed catalog ids instead of silently
-    # nulling: F.unhex of a malformed id returns NULL, _canon_edges would
-    # then DROP the star edge and the old entity would silently split — the
-    # exact failure mode a foreign/corrupted catalog must surface instead.
     labels_touched, labels_rest = _touched_component_labels(
         delta_edges,
-        labels_old,
+        labels_old_b,
         new_rids=work.filter("is_new").select("rid"),
         max_iterations=cfg.cc_max_iterations,
     )

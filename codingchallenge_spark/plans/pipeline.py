@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from codingchallenge_spark.functions.normalize import (
+    guarded_unhex,
     normalize_records,
     with_token_hashes,
 )
@@ -81,15 +82,41 @@ class PipelineRun:
     run_dir: str
 
 
+# Marker a delta-EMIT run writes when it maintains no state manifest (the
+# manifest records emit itself): the only signal that its entities_delta
+# holds the upsert set, not the catalog (ADVICE r04 — a partial sink must
+# never be silently consumable as a full one).
+EMIT_DELTA_MARKER = "EMIT_DELTA"
+
+
+def _is_delta_emit(run_dir: str) -> bool:
+    return (
+        cstate.manifest_emit(run_dir) == "delta"
+        or (Path(run_dir) / EMIT_DELTA_MARKER).exists()
+    )
+
+
 def catalog_entities_path(run_dir: str) -> str:
-    """The completed entities sink inside a pipeline run_dir.
+    """The completed FULL entities sink inside a pipeline run_dir.
 
     Shared by the ``--delta`` CLI and the streaming ingest adapter so the
     fallback order can never drift: a delta run writes ``entities_delta``,
-    a batch run ``entities``.
+    a batch run ``entities``. A run_dir whose entities_delta is an
+    ``emit="delta"`` upsert set (recorded in state.json / the EMIT_DELTA
+    marker) is REFUSED — its partial sink would silently drop every
+    untouched catalog row (ADVICE r04); read :func:`current_entities`
+    instead, which reconstructs the full view from the state chains.
     """
     for ent in ("entities_delta", "entities"):
         if (Path(run_dir) / ent / "_STAGE_DONE").exists():
+            if ent == "entities_delta" and _is_delta_emit(run_dir):
+                raise ValueError(
+                    f"{run_dir!r} was emitted with emit='delta': its "
+                    "entities_delta holds only the upsert set, not the "
+                    "catalog. Use current_entities(spark, run_dir) for the "
+                    "full resolved view (or delta_entities_path for the "
+                    "upsert set)."
+                )
             return str(Path(run_dir) / ent)
     raise ValueError(
         f"{run_dir!r} holds no completed entities stage; it is not a "
@@ -97,13 +124,40 @@ def catalog_entities_path(run_dir: str) -> str:
     )
 
 
+def delta_entities_path(run_dir: str) -> str:
+    """The per-run upsert sink (whatever the emit mode wrote there)."""
+    p = Path(run_dir) / "entities_delta"
+    if not (p / "_STAGE_DONE").exists():
+        raise ValueError(f"{run_dir!r} holds no completed entities_delta stage")
+    return str(p)
+
+
+def current_entities(spark: SparkSession, run_dir: str) -> DataFrame:
+    """The FULL resolved entities view of a run_dir, independent of emit
+    mode: a full-emit run's persisted entities sink, else (delta-emit run or
+    compacted state dir) the reconstruction ``emit_entities(norm chain,
+    resolved labels chain)`` — a lazy corpus-sized READ for the consumer who
+    asks for the whole catalog, paid by that consumer only; per-batch writes
+    stay delta-sized (VERDICT r04 #3)."""
+    if cstate.has_state(run_dir):
+        full_sink_ok = not _is_delta_emit(run_dir) and (
+            (Path(run_dir) / "entities" / "_STAGE_DONE").exists()
+            or (Path(run_dir) / "entities_delta" / "_STAGE_DONE").exists()
+        )
+        if not full_sink_ok:
+            state = cstate.load_catalog_state(spark, run_dir)
+            return emit_entities(state.norm, state.labels)
+    return spark.read.parquet(catalog_entities_path(run_dir))
+
+
 # Bump whenever any stage's OUTPUT SCHEMA or on-disk semantics change: the
 # token is folded into every stage fingerprint, so --resume against a run_dir
 # written by older code rebuilds instead of loading a stale-schema checkpoint
 # (e.g. v2 added the `th` column to the normalize stage — resuming a v1
 # run_dir would otherwise fail on norm.select(..., 'th'); v3 switched the
-# blocking/scoring/cc stages to 32-byte binary rids).
-PIPELINE_SCHEMA_VERSION = 3
+# blocking/scoring/cc stages to 32-byte binary rids; v4 switched the
+# sn_index stage to bucket-local positions + manifest sn_chain overlays).
+PIPELINE_SCHEMA_VERSION = 4
 
 
 def _fingerprint(cfg: MatcherConfig, input_id: str, upstream: str, stage: str) -> str:
@@ -306,7 +360,16 @@ def run_pipeline(
         "sn_bounds", ["sn_index"], lambda: cstate.bounds_from_index(sn_index)
     )
     cstate.write_state_manifest(
-        run_dir, [ckpt.stage_path(run_dir, "normalize")]
+        run_dir,
+        [ckpt.stage_path(run_dir, "normalize")],
+        sn_chain=[
+            {"path": ckpt.stage_path(run_dir, "sn_index"), "buckets": None}
+        ],
+        # The cc stage IS the labels base: binary (rid, entity_id) for every
+        # catalog rid — the labels overlay chain grows from it, one
+        # delta-sized upsert element per maintained delta run.
+        labels_chain=[ckpt.stage_path(run_dir, "cc")],
+        emit="full",
     )
     return PipelineRun(
         entities=entities, executed=executed, skipped=skipped, run_dir=run_dir
@@ -315,7 +378,7 @@ def run_pipeline(
 
 def run_delta_pipeline(
     spark: SparkSession,
-    catalog: DataFrame,
+    catalog: DataFrame | None,
     delta_records: DataFrame,
     run_dir: str,
     cfg: MatcherConfig | None = None,
@@ -348,7 +411,10 @@ def run_delta_pipeline(
     ``input_id`` must identify BOTH the catalog and the delta (the CLI folds
     both paths plus the sn/emit flags) so fingerprints invalidate when either
     side changes. ``catalog`` is the prior entities table (rid, entity_id +
-    record columns).
+    record columns) — pass ``None`` when ``state`` carries a labels chain
+    (load_catalog_state): the prior labels come from the chain, which is
+    what makes an ``emit="delta"`` run_dir chainable (its partial entities
+    sink is never consulted — VERDICT r04 #3 / ADVICE r04).
     """
     from codingchallenge_spark.plans import incremental as inc
 
@@ -358,13 +424,34 @@ def run_delta_pipeline(
         spark, run_dir, cfg, f"{input_id}|sn={int(sn)}|emit={emit}", resume
     )
     stage = runner.stage
-    labels_old = catalog.select("rid", "entity_id")
+    # Prior labels, BINARY (rid, entity_id): from the state's labels chain
+    # when available (narrow, delta-sized elements over one corpus-sized
+    # base), else converted from the catalog entities relation.
+    if state is not None and state.labels is not None:
+        labels_old_b = state.labels
+    elif catalog is not None:
+        ctx = "run_delta_pipeline: catalog"
+        labels_old_b = catalog.select(
+            guarded_unhex("rid", ctx).alias("rid"),
+            guarded_unhex("entity_id", ctx).alias("entity_id"),
+        )
+    else:
+        raise ValueError(
+            "run_delta_pipeline needs a catalog entities relation or a "
+            "state carrying a labels chain (load_catalog_state)"
+        )
 
     if state is None:
         # No persisted state supplied: derive one IN-RUN, checkpointed — the
         # corpus-proportional derivation is paid once per catalog (resume
         # skips it), not once per stage, and the run_dir then carries a
         # reusable state.
+        if catalog is None:
+            raise ValueError(
+                "run_delta_pipeline without a persisted state needs the "
+                "catalog entities relation to derive one in-run"
+            )
+
         def build_catalog_norm() -> DataFrame:
             recs = catalog.select(*normalize_input_columns())
             parallelism = spark.sparkContext.defaultParallelism
@@ -375,9 +462,14 @@ def run_delta_pipeline(
                 with_token_hashes,
             )
 
-            return with_token_hashes(normalize_records(recs)).withColumn(
-                "rid_b", F.unhex("rid")
-            )
+            n = with_token_hashes(normalize_records(recs))
+            if cfg.int32_prefilter:
+                from codingchallenge_spark.functions.normalize import (
+                    with_token_hashes32,
+                )
+
+                n = with_token_hashes32(n)
+            return n.withColumn("rid_b", F.unhex("rid"))
 
         cat_norm = stage("catalog_norm", [], build_catalog_norm)
         tok_df_cat = stage(
@@ -390,13 +482,25 @@ def run_delta_pipeline(
             ["catalog_norm"],
             lambda: cstate.build_sn_index(cat_norm, num_buckets=cfg.sn_buckets)[0],
         )
+        labels_cat = stage("labels_cat", [], lambda: labels_old_b)
+        bounds_cat = cstate.bounds_from_index(idx_cat)
         state = cstate.CatalogState(
             norm=cat_norm,
             token_df=tok_df_cat,
-            sn_index=idx_cat,
-            sn_bounds=cstate.bounds_from_index(idx_cat),
+            sn_index=cstate.resolve_sn_index(idx_cat, bounds_cat),
+            sn_bounds=bounds_cat,
+            sn_stored=idx_cat,
+            labels=labels_cat,
             norm_paths=[ckpt.stage_path(run_dir, "catalog_norm")],
+            sn_chain=[
+                {
+                    "path": ckpt.stage_path(run_dir, "sn_index_cat"),
+                    "buckets": None,
+                }
+            ],
+            labels_chain=[ckpt.stage_path(run_dir, "labels_cat")],
         )
+        labels_old_b = labels_cat  # downstream reads the persisted stage
 
     def build_normalize_delta() -> DataFrame:
         from codingchallenge_spark.functions.normalize import (
@@ -408,13 +512,33 @@ def run_delta_pipeline(
         nd = (
             normalize_records(delta_records.select(*INPUT_COLUMNS))
             .dropDuplicates(["rid"])
-            .join(labels_old.select("rid"), "rid", "left_anti")
+            # idempotency: rids already cataloged are dropped (labels are
+            # the catalog's rid set; hex both sides — norm rids are hex)
+            .join(
+                labels_old_b.select(F.lower(F.hex("rid")).alias("rid")),
+                "rid",
+                "left_anti",
+            )
         )
-        return with_token_hashes(nd).withColumn("rid_b", F.unhex("rid"))
+        nd = with_token_hashes(nd)
+        # Delta schema follows the STATE's: a catalog persisted with
+        # int32_prefilter carries th32 and the norm-chain union requires the
+        # delta to carry it too (ADVICE r04 — cfg alone must not decide).
+        if "th32" in state.norm.columns:
+            from codingchallenge_spark.functions.normalize import (
+                with_token_hashes32,
+            )
+
+            nd = with_token_hashes32(nd)
+        return nd.withColumn("rid_b", F.unhex("rid"))
 
     norm_delta = stage("normalize_delta", [], build_normalize_delta)
     work_new = norm_delta.select(
-        F.col("rid_b").alias("rid"), "name_norm", "tokens", "th"
+        F.col("rid_b").alias("rid"),
+        "name_norm",
+        "tokens",
+        "th",
+        *(["th32"] if "th32" in norm_delta.columns else []),
     )
 
     pairs = stage(
@@ -440,12 +564,15 @@ def run_delta_pipeline(
         ["score_delta"],
         lambda: edges_from_scores(scored, threshold=cfg.threshold),
     )
+    # cc_delta IS the labels-chain upsert element: new rids + every member
+    # of a touched catalog entity, relabeled — exactly the set whose labels
+    # the next chain read must override.
     labels_touched = stage(
         "cc_delta",
         ["edges_delta", "normalize_delta"],
         lambda: inc._touched_component_labels(
             edges,
-            labels_old,
+            labels_old_b,
             new_rids=work_new.select("rid"),
             max_iterations=cfg.cc_max_iterations,
         )[0],
@@ -457,15 +584,8 @@ def run_delta_pipeline(
         )
         if emit == "delta":
             return emit_entities(norm_union, labels_touched)
-        from codingchallenge_spark.functions.normalize import guarded_unhex
-
-        ctx = "run_delta_pipeline: catalog"
-        labels_rest = (
-            labels_old.select(
-                guarded_unhex("rid", ctx).alias("rid"),
-                guarded_unhex("entity_id", ctx).alias("entity_id"),
-            )
-            .join(labels_touched.select("rid"), "rid", "left_anti")
+        labels_rest = labels_old_b.join(
+            labels_touched.select("rid"), "rid", "left_anti"
         )
         return emit_entities(
             norm_union, labels_touched.unionByName(labels_rest)
@@ -473,26 +593,61 @@ def run_delta_pipeline(
 
     entities = stage("entities_delta", ["cc_delta", "normalize_delta"], build_entities)
 
+    if emit == "delta" and not maintain_state:
+        # No manifest will record the emit mode — leave the marker that
+        # makes catalog_entities_path refuse this partial sink (ADVICE r04).
+        (Path(run_dir) / EMIT_DELTA_MARKER).write_text(
+            "entities_delta is an upsert set (emit='delta'), not a catalog\n"
+        )
+
     if maintain_state:
-        tok_df_new = stage(
+        if state.sn_chain is None or state.labels_chain is None:
+            raise ValueError(
+                "maintain_state=True needs a parquet-backed catalog state "
+                "(state.sn_chain + state.labels_chain) — pass state from "
+                "load_catalog_state / a prior run_dir, or "
+                "maintain_state=False"
+            )
+        stage(
             "token_df",
             ["normalize_delta"],
             lambda: cstate.updated_token_df(state.token_df, norm_delta),
         )
-        idx_new = stage(
+        # Bucket-local maintenance (VERDICT r04 #2): the sn_index stage holds
+        # ONLY the merged touched buckets; untouched buckets stay in the
+        # prior chain elements (manifest sn_chain, latest-covering wins).
+        # The global-position shift an insertion causes lives in the
+        # recomputed metadata-sized bounds stage — no corpus re-sort.
+        idx_touched = stage(
             "sn_index",
             ["normalize_delta"],
-            lambda: cstate.updated_sn_index(
-                state, norm_delta, num_buckets=cfg.sn_buckets
-            )[0],
+            lambda: cstate.merge_sn_buckets(state, norm_delta),
         )
         stage(
-            "sn_bounds", ["sn_index"], lambda: cstate.bounds_from_index(idx_new)
+            "sn_bounds",
+            ["sn_index"],
+            lambda: cstate.merged_bounds(state.sn_bounds, idx_touched),
+        )
+        # Touched-bucket ids for the manifest, from the PERSISTED element
+        # (delta-proportional distinct over a delta-sized stage).
+        touched_ids = sorted(
+            r.bucket
+            for r in idx_touched.select("bucket").distinct().collect()
         )
         cstate.write_state_manifest(
             run_dir,
             (state.norm_paths or [])
             + [ckpt.stage_path(run_dir, "normalize_delta")],
+            sn_chain=list(state.sn_chain)
+            + [
+                {
+                    "path": ckpt.stage_path(run_dir, "sn_index"),
+                    "buckets": touched_ids,
+                }
+            ],
+            labels_chain=list(state.labels_chain)
+            + [ckpt.stage_path(run_dir, "cc_delta")],
+            emit=emit,
         )
     return PipelineRun(
         entities=entities,

@@ -35,18 +35,23 @@ Exactly-once story (the part worth reading):
   instead of silently serving a stale batch's results or corrupting the
   normalize chain — reprocessing needs a fresh ``out_dir``.
 
-Per-batch work is delta-proportional: the catalog pointer names a run_dir
-carrying persisted catalog state (plans.catalog_state — reused normalize
-chain, maintained token dfs, materialized SN key index), measured FLAT
-across a 10× catalog in BENCH/BASELINE.md. Two corpus-proportional terms
-remain, both bounded deliberately: the chainable ``emit="full"`` entity sink
-the CURRENT batch writes (a production deployment would ``emit="delta"``
-into an Iceberg ``MERGE``; no Iceberg runtime in this sandbox, SURVEY.md
-§0), and disk growth — bounded by :func:`prune_superseded`, which after
-each completed batch strips every stage sink of older run_dirs EXCEPT their
-``normalize_delta`` (still referenced by the state manifest's norm-path
-chain; the chain itself grows one small delta-sized parquet per batch and
-would be compacted by a periodic batch re-run at production scale).
+Per-batch work AND writes are delta-proportional: the catalog pointer names
+a run_dir carrying persisted catalog state (plans.catalog_state — reused
+normalize chain, maintained token dfs, materialized SN key index, labels
+overlay chain), measured FLAT across a 10× catalog in BENCH/BASELINE.md.
+Each batch runs ``emit="delta"`` (VERDICT r04 #3): it writes its upsert set
+(entities_delta), its touched-label element (cc_delta — the labels chain
+element the NEXT batch's ``labels_old`` resolves through), its
+normalize-delta, and its touched-bucket index element — all delta-sized;
+the full corpus is never rewritten per batch. The full resolved view is
+available on demand via ``plans.pipeline.current_entities`` (a lazy read
+paid by the consumer who asks for it). Disk and chain growth are bounded
+twice: :func:`prune_superseded` strips superseded run_dirs down to the
+sinks the state manifest still references (normalize_delta / sn_index /
+cc_delta), and every ``compact_every`` batches the chains are folded back
+to single elements (plans.catalog_state.compact_state) and the superseded
+batch dirs deleted outright — the periodic, amortized corpus-proportional
+event that keeps every per-batch cost delta-sized.
 
 Production shape: the source directory is an object-store landing zone (or
 an Iceberg table scanned as a stream); ``maxFilesPerTrigger`` bounds
@@ -57,6 +62,7 @@ for scheduled ingest, omit it for a continuously running query.
 from __future__ import annotations
 
 import hashlib
+import re
 import shutil
 from pathlib import Path
 
@@ -65,32 +71,47 @@ from pyspark.sql import functions as F
 
 from codingchallenge_spark.plans import catalog_state as cstate
 from codingchallenge_spark.plans.matcher import MatcherConfig
-from codingchallenge_spark.plans.pipeline import (
-    catalog_entities_path,
-    run_delta_pipeline,
-)
+from codingchallenge_spark.plans.pipeline import run_delta_pipeline
 from codingchallenge_spark.sources.records import INPUT_COLUMNS, RECORDS_SCHEMA
 
 CURRENT_POINTER = "CURRENT"
 INGEST_ID_FILE = "INGEST_ID"
 # Stage sinks still needed from a SUPERSEDED batch run_dir: the state
-# manifest's norm-path chain references every batch's normalize_delta.
-PRUNE_KEEP = {"normalize_delta", INGEST_ID_FILE}
+# manifest's norm-path chain references every batch's normalize_delta, its
+# sn_chain references every batch's sn_index overlay element (the
+# touched-bucket merge), and its labels_chain references every batch's
+# cc_delta touched-label element — all delta-sized.
+PRUNE_KEEP = {"normalize_delta", "sn_index", "cc_delta", INGEST_ID_FILE}
 
 
 def _pointer_path(out_dir: str) -> Path:
     return Path(out_dir) / CURRENT_POINTER
 
 
-def _read_pointer_full(out_dir: str) -> tuple[str | None, str | None]:
-    """(run_dir, input-file digest) of the newest completed batch."""
+def _read_pointer_full(
+    out_dir: str,
+) -> tuple[str | None, str | None, int, int]:
+    """(run_dir, input-file digest, pruned-upto watermark, last batch id)
+    of the newest completed batch. The watermark is the highest batch id
+    whose superseded sinks have already been pruned (−1 before any pruning)
+    — it bounds :func:`prune_superseded` to the ids landed since the last
+    prune. The last batch id survives a compaction repoint (the run_dir then
+    names a compact dir, not a batch dir) so replays of already-committed
+    batches stay detectable."""
     p = _pointer_path(out_dir)
     if not p.exists():
-        return None, None
+        return None, None, -1, -1
     lines = p.read_text().splitlines()
     run_dir = lines[0].strip() if lines else ""
     digest = lines[1].strip() if len(lines) > 1 else None
-    return (run_dir or None), (digest or None)
+
+    def _int(i: int) -> int:
+        try:
+            return int(lines[i]) if len(lines) > i else -1
+        except ValueError:
+            return -1
+
+    return (run_dir or None), (digest or None), _int(2), _int(3)
 
 
 def read_pointer(out_dir: str) -> str | None:
@@ -98,12 +119,28 @@ def read_pointer(out_dir: str) -> str | None:
     return _read_pointer_full(out_dir)[0]
 
 
-def _advance_pointer(out_dir: str, run_dir: str, digest: str) -> None:
-    """Atomically repoint CURRENT at a completed batch's run_dir."""
+def _advance_pointer(
+    out_dir: str,
+    run_dir: str,
+    digest: str,
+    pruned_upto: int = -1,
+    last_batch_id: int = -1,
+) -> None:
+    """Atomically repoint CURRENT at a completed batch's run_dir (or a
+    compacted state dir, keeping the completed batch id on record)."""
     p = _pointer_path(out_dir)
     tmp = p.with_suffix(".tmp")
-    tmp.write_text(f"{run_dir}\n{digest}\n")
+    tmp.write_text(f"{run_dir}\n{digest}\n{pruned_upto}\n{last_batch_id}\n")
     tmp.replace(p)
+
+
+def _batch_id_of(name: str) -> int | None:
+    """Numeric batch id from a run_dir name. Parsed, never compared
+    lexicographically: ``batch-1000000`` sorts BEFORE ``batch-999999`` as a
+    string once the %06d padding overflows — reachable under
+    maxFilesPerTrigger=1 at the 10^12-file framing."""
+    m = re.fullmatch(r"batch-(\d+)", name)
+    return int(m.group(1)) if m else None
 
 
 def _file_digest(batch_df: DataFrame) -> str:
@@ -114,7 +151,9 @@ def _file_digest(batch_df: DataFrame) -> str:
     return hashlib.md5("\n".join(files).encode()).hexdigest()
 
 
-def prune_superseded(out_dir: str, current_run_dir: str) -> list[str]:
+def prune_superseded(
+    out_dir: str, current_run_dir: str, watermark: int = -1
+) -> list[str]:
     """Strip superseded batch run_dirs down to their normalize_delta sink.
 
     Every batch dir older than CURRENT is offset-committed (its successor
@@ -123,11 +162,22 @@ def prune_superseded(out_dir: str, current_run_dir: str) -> list[str]:
     ``normalize_delta`` parquet IS still read — the state manifest's
     norm-path chain unions every batch's delta-normalize — so that one sink
     (and the sentinel) survives. Returns the pruned paths.
+
+    Cost is O(1) amortized per batch, not O(#batches): ids are visited
+    numerically from ``watermark + 1`` (the pointer's pruned-upto line, so
+    each id is visited once over the stream's lifetime) with run_dir names
+    reconstructed directly — no directory glob, no lexicographic compare
+    (see :func:`_batch_id_of` for why string order breaks at id ≥ 10^6).
+    Batch ids are assigned consecutively by the streaming engine; ids that
+    never made a run_dir (empty batches) cost one stat each, once ever.
     """
-    cur = Path(current_run_dir).name
+    cur_id = _batch_id_of(Path(current_run_dir).name)
+    if cur_id is None:
+        return []
     pruned = []
-    for d in sorted(Path(out_dir).glob("batch-*")):
-        if not d.is_dir() or d.name >= cur:
+    for bid in range(max(watermark + 1, 0), cur_id):
+        d = Path(out_dir) / f"batch-{bid:06d}"
+        if not d.is_dir():
             continue
         for child in d.iterdir():
             if child.name in PRUNE_KEEP:
@@ -140,6 +190,52 @@ def prune_superseded(out_dir: str, current_run_dir: str) -> list[str]:
     return pruned
 
 
+def _compact_and_clean(
+    spark: SparkSession,
+    out_root: str,
+    run_dir: str,
+    batch_id: int,
+    digest: str,
+    cfg: MatcherConfig | None,
+) -> str:
+    """Fold the chains into a fresh compact dir, repoint CURRENT at it, and
+    delete everything it supersedes.
+
+    Runs AFTER batch ``batch_id``'s pointer advance (so a crash mid-compact
+    leaves a consistent batch-run_dir pointer) and before its offsets commit
+    (a replay after the repoint hits the sentinel-verified no-op branch in
+    :func:`ingest_batch`). Once the pointer names the compact dir, no chain
+    references any batch run_dir: older batch dirs and older compact dirs
+    are deleted outright, and this batch's dir is stripped to its sentinel
+    (kept only for replay detection until the offsets commit).
+    """
+    compact_dir = str(Path(out_root) / f"compact-{batch_id:06d}")
+    cstate.compact_state(
+        spark, run_dir, compact_dir,
+        num_buckets=cfg.sn_buckets if cfg is not None else None,
+    )
+    _advance_pointer(
+        out_root, compact_dir, digest,
+        pruned_upto=batch_id, last_batch_id=batch_id,
+    )
+    for d in Path(out_root).glob("batch-*"):
+        bid = _batch_id_of(d.name)
+        if bid is None or not d.is_dir():
+            continue
+        if bid < batch_id:
+            shutil.rmtree(d)
+        elif bid == batch_id:
+            for child in d.iterdir():
+                if child.name == INGEST_ID_FILE:
+                    continue
+                shutil.rmtree(child) if child.is_dir() else child.unlink()
+    for d in Path(out_root).glob("compact-*"):
+        m = re.fullmatch(r"compact-(\d+)", d.name)
+        if m and int(m.group(1)) < batch_id and d.is_dir():
+            shutil.rmtree(d)
+    return compact_dir
+
+
 def ingest_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -148,18 +244,21 @@ def ingest_batch(
     catalog_run_dir: str,
     cfg: MatcherConfig | None = None,
     sn: bool = True,
+    compact_every: int | None = None,
 ) -> dict:
     """One micro-batch: link ``batch_df`` against the current catalog chain.
 
     This is the ``foreachBatch`` body, factored out so tests (and manual
     backfills) can drive it without a streaming query. Returns a summary
     dict; the replay/refusal branches are documented in the module
-    docstring.
+    docstring. ``compact_every``: fold the state chains and delete
+    superseded batch dirs after every Nth batch (None = never — an external
+    scheduled compaction then bounds the chains instead).
     """
     out_root = str(Path(out_dir).resolve())
     run_dir = str(Path(out_root) / f"batch-{batch_id:06d}")
     digest = _file_digest(batch_df)
-    ptr_run, ptr_digest = _read_pointer_full(out_root)
+    ptr_run, ptr_digest, watermark, last_bid = _read_pointer_full(out_root)
     if ptr_run == run_dir:
         if ptr_digest in (None, digest):
             # Replay of a batch whose pointer already advanced: its rows are
@@ -174,6 +273,24 @@ def ingest_batch(
             "DIFFERENT input-file set — the streaming checkpoint was "
             "recreated over a used out_dir. Reprocess into a fresh "
             "--out-dir (or restore the original checkpoint)."
+        )
+    if batch_id <= last_bid:
+        # The pointer moved PAST this batch id (a compaction repointed
+        # CURRENT at a compact dir after this batch completed). Genuine
+        # replay iff this batch's sentinel recorded the same (batch, files)
+        # identity — the sentinel's input_id suffix is pointer-independent.
+        sent = Path(run_dir) / INGEST_ID_FILE
+        if sent.exists() and sent.read_text().strip().endswith(
+            f"|batch:{batch_id}|files:{digest}"
+        ):
+            return {
+                "batch_id": batch_id, "run_dir": run_dir, "replay_noop": True
+            }
+        raise ValueError(
+            f"batch {batch_id} is at or below the committed batch id "
+            f"{last_bid} in {out_root!r} but does not match its recorded "
+            "identity — the streaming checkpoint was recreated over a used "
+            "out_dir. Reprocess into a fresh --out-dir."
         )
     if batch_df.isEmpty():
         # File source can hand an empty batch (e.g. an empty landed file);
@@ -196,29 +313,46 @@ def ingest_batch(
     delta = batch_df.select(*INPUT_COLUMNS)
     # Fail-loud parity with sources.records.read_records' missing-column
     # check: the streaming schema fills columns absent from a landed file
-    # with nulls, which normalize would silently discard AFTER the file's
-    # offsets committed — lost data. One delta-sized pass.
-    n_bad = delta.filter(
-        " OR ".join(f"{c} IS NULL" for c in INPUT_COLUMNS)
-    ).count()
-    if n_bad:
+    # with nulls. Two shapes are refused BEFORE the file's offsets commit
+    # (one delta-sized aggregate pass, one collected row):
+    # - a null in an IDENTITY column (repo/path/commit — the rid inputs):
+    #   normalize would mint a rid from a partial key, silently mislinking;
+    # - a column that is null on EVERY row of a non-empty batch — the
+    #   signature of a landed file missing that column entirely.
+    # A null (or empty) content value on SOME rows is NOT refused: the batch
+    # path deliberately drops such rows (functions.normalize
+    # normalize_records), and the same file ingested via --delta would
+    # succeed — a stream must not wedge forever replaying what batch
+    # tolerates. Empty-string content likewise follows batch drop semantics
+    # (the null check can't see it, and doesn't need to).
+    stats = delta.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.count(c).alias(f"_n_{c}") for c in INPUT_COLUMNS],
+    ).collect()[0]
+    id_cols = ("repo", "path", "commit")
+    bad_id = [c for c in id_cols if stats[f"_n_{c}"] < stats["_n"]]
+    if bad_id:
         raise ValueError(
-            f"batch {batch_id}: {n_bad} rows with null required columns "
-            f"({INPUT_COLUMNS}) — a landed file is malformed; refusing to "
-            "commit its offsets"
+            f"batch {batch_id}: rows with null identity columns {bad_id} "
+            "(the record-id inputs) — a landed file is malformed; refusing "
+            "to commit its offsets"
+        )
+    all_null = [
+        c for c in INPUT_COLUMNS
+        if c not in id_cols and stats[f"_n_{c}"] == 0
+    ]
+    if all_null:
+        raise ValueError(
+            f"batch {batch_id}: columns {all_null} are entirely null — a "
+            "landed file is missing them; refusing to commit its offsets"
         )
 
     state = cstate.load_catalog_state(spark, current)
-    # With persisted state the catalog relation is only consumed for its
-    # (rid, entity_id) labels — keep it narrow.
-    catalog = spark.read.parquet(catalog_entities_path(current)).select(
-        "rid", "entity_id"
-    )
     Path(run_dir).mkdir(parents=True, exist_ok=True)
     sentinel.write_text(input_id + "\n")
     run = run_delta_pipeline(
         spark,
-        catalog,
+        None,  # prior labels come from the state's labels chain
         delta,
         run_dir,
         cfg,
@@ -226,17 +360,31 @@ def ingest_batch(
         resume=True,  # replays of half-finished batches resume the suffix
         sn=sn,
         state=state,
-        emit="full",  # chainable; production: emit="delta" + Iceberg MERGE
+        emit="delta",  # every per-batch write is delta-sized (VERDICT r04 #3)
         maintain_state=True,
     )
-    _advance_pointer(out_root, run_dir, digest)
-    pruned = prune_superseded(out_root, run_dir)
+    _advance_pointer(
+        out_root, run_dir, digest,
+        pruned_upto=watermark, last_batch_id=batch_id,
+    )
+    pruned = prune_superseded(out_root, run_dir, watermark=watermark)
+    if batch_id - 1 > watermark:
+        _advance_pointer(
+            out_root, run_dir, digest,
+            pruned_upto=batch_id - 1, last_batch_id=batch_id,
+        )
+    compacted = None
+    if compact_every and (batch_id + 1) % compact_every == 0:
+        compacted = _compact_and_clean(
+            spark, out_root, run_dir, batch_id, digest, cfg
+        )
     return {
         "batch_id": batch_id,
         "run_dir": run_dir,
         "executed": run.executed,
         "skipped": run.skipped,
         "pruned": len(pruned),
+        "compacted": compacted,
     }
 
 
@@ -250,6 +398,7 @@ def start_stream_ingest(
     sn: bool = True,
     max_files_per_trigger: int | None = 1,
     available_now: bool = True,
+    compact_every: int | None = None,
 ):
     """Start the streaming ingest query; returns the StreamingQuery.
 
@@ -281,7 +430,8 @@ def start_stream_ingest(
 
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch(
-            spark, batch_df, batch_id, out_root, catalog_run_dir, cfg, sn=sn
+            spark, batch_df, batch_id, out_root, catalog_run_dir, cfg,
+            sn=sn, compact_every=compact_every,
         )
 
     writer = (

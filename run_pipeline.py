@@ -76,10 +76,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--emit-delta", action="store_true",
                     help="with --delta: write only new + possibly-relabeled "
                          "rows (an upsert set) instead of the full combined "
-                         "entity table — the corpus-proportional emit is the "
-                         "one remaining full-table pass of a delta run. An "
-                         "--emit-delta run_dir is NOT chainable as the next "
-                         "--delta's --input (its entities_delta is partial)")
+                         "entity table — every write of the run is then "
+                         "delta-sized. A maintained --emit-delta run_dir IS "
+                         "chainable as the next --delta's --input: the prior "
+                         "labels come from the state manifest's labels "
+                         "chain, never the (partial) entities_delta sink, "
+                         "which catalog_entities_path refuses to serve")
     ap.add_argument("--no-maintain-state", action="store_true",
                     help="with --delta: skip writing the updated catalog "
                          "state (token_df / sn_index / state.json) into the "
@@ -118,20 +120,22 @@ def main(argv: list[str] | None = None) -> int:
         # checkpointed, and the run_dir becomes a valid state for the next
         # delta). Stages are fingerprinted and resumable (--resume).
         from codingchallenge_spark.plans import catalog_state as cstate
-        from codingchallenge_spark.plans.pipeline import (
-            catalog_entities_path,
-            run_delta_pipeline,
-        )
+        from codingchallenge_spark.plans.pipeline import run_delta_pipeline
 
         state = None
+        catalog = None
         catalog_path = args.input
         if args.format == "parquet" and cstate.has_state(args.input):
+            # Persisted state: the prior labels come from the manifest's
+            # labels chain — the entities sink is never read, which is what
+            # lets an --emit-delta run_dir chain as the next --delta's
+            # --input (its entities_delta is just the upsert set).
             state = cstate.load_catalog_state(spark, args.input)
-            catalog_path = catalog_entities_path(args.input)
-        catalog = (
-            spark.table(catalog_path) if args.format == "table"
-            else spark.read.format(args.format).load(catalog_path)
-        )
+        else:
+            catalog = (
+                spark.table(catalog_path) if args.format == "table"
+                else spark.read.format(args.format).load(catalog_path)
+            )
         delta = read_records(spark, args.delta, fmt=args.format)
         run = run_delta_pipeline(
             spark,

@@ -55,6 +55,12 @@ def main(argv: list[str] | None = None) -> int:
                          "high-frequency ingest")
     ap.add_argument("--max-files-per-trigger", type=int, default=1,
                     help="per-micro-batch delta size bound")
+    ap.add_argument("--compact-every", type=int, default=None,
+                    help="fold the state chains (norm / sn_index / labels) "
+                         "into a fresh compact dir and delete superseded "
+                         "batch dirs after every Nth batch — bounds chain "
+                         "length and disk at the cost of one amortized "
+                         "corpus-sized write per N batches")
     ap.add_argument("--continuous", action="store_true",
                     help="run until interrupted instead of drain-and-stop "
                          "(availableNow)")
@@ -83,6 +89,7 @@ def main(argv: list[str] | None = None) -> int:
         sn=not args.token_only,
         max_files_per_trigger=args.max_files_per_trigger,
         available_now=not args.continuous,
+        compact_every=args.compact_every,
     )
     query.awaitTermination()
     current = read_pointer(args.out_dir)

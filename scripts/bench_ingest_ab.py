@@ -18,6 +18,12 @@ Protocol:
     state+emit=delta+sn=False  (token-only)
     state+emit=full         (corpus-proportional emit, for contrast)
     nostate                 (round-3 behavior: re-normalize + re-count)
+    maintained pipeline     (run_delta_pipeline, maintain_state=True,
+                             emit=delta: the FULL staged ingest including
+                             bucket-local sn_index maintenance, token-df
+                             update, labels-chain element and every stage
+                             sink write INSIDE the timed region — the
+                             round-4 verdict's done-criterion for item #2)
 - prints ONE JSON line; paste the numbers into BENCH/BASELINE.md (this
   script never writes the report file).
 
@@ -41,7 +47,10 @@ from codingchallenge_spark.plans.incremental import (  # noqa: E402
     resolve_entities_incremental,
 )
 from codingchallenge_spark.plans.matcher import MatcherConfig  # noqa: E402
-from codingchallenge_spark.plans.pipeline import run_pipeline  # noqa: E402
+from codingchallenge_spark.plans.pipeline import (  # noqa: E402
+    run_delta_pipeline,
+    run_pipeline,
+)
 from codingchallenge_spark.session import build_session  # noqa: E402
 from fixtures.gen_repo_files import generate  # noqa: E402
 
@@ -114,10 +123,26 @@ def main() -> int:
             lambda: resolve_entities_incremental(catalog, delta, cfg).count(),
             args.trials,
         )
+
+        # Full staged ingest, maintenance INSIDE the timed region: every
+        # trial writes a fresh run_dir (resume must not skip stages), so the
+        # clock covers normalize_delta→entities_delta PLUS token_df update,
+        # bucket-local sn_index merge, merged bounds, labels element and the
+        # manifest — the whole per-batch cost a streaming deployment pays.
+        def _maintained() -> None:
+            rd = tempfile.mkdtemp(prefix=f"ingest_ab_maint_{label}_")
+            run_delta_pipeline(
+                spark, None, delta, rd, cfg, input_id=f"ab-m-{label}",
+                state=state, emit="delta", maintain_state=True,
+            )
+
+        out[f"delta_pipeline_maintained_{label}_sec"] = _time_min(
+            _maintained, args.trials
+        )
         catalog.unpersist()
 
     for k in ("delta_state", "delta_state_tokonly", "delta_state_fullemit",
-              "delta_nostate"):
+              "delta_nostate", "delta_pipeline_maintained"):
         small, big = out[f"{k}_small_sec"], out[f"{k}_big_sec"]
         out[f"{k}_10x_ratio"] = round(big / small, 2) if small else None
     print(json.dumps(out))

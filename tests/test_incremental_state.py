@@ -77,15 +77,30 @@ def state(spark, catalog, tmp_path_factory):
     norm.write.parquet(str(tmp / "norm"))
     normp = spark.read.parquet(str(tmp / "norm"))
     cstate.build_token_df(normp).write.parquet(str(tmp / "token_df"))
-    idx, _ = cstate.build_sn_index(normp, num_buckets=8)
-    idx.write.parquet(str(tmp / "sn_index"))
+    stored, _ = cstate.build_sn_index(normp, num_buckets=8)
+    stored.write.parquet(str(tmp / "sn_index"))
     idxp = spark.read.parquet(str(tmp / "sn_index"))
+    # bounds persisted like the pipeline's sn_bounds stage (derived from the
+    # persisted index, then parquet-backed — the plan gates below must see
+    # the production lineage, a scan, not the derivation)
+    cstate.bounds_from_index(idxp).write.parquet(str(tmp / "sn_bounds"))
+    bounds = spark.read.parquet(str(tmp / "sn_bounds"))
+    from codingchallenge_spark.functions.normalize import guarded_unhex
+
+    catalog.select(
+        guarded_unhex("rid", "t").alias("rid"),
+        guarded_unhex("entity_id", "t").alias("entity_id"),
+    ).write.parquet(str(tmp / "labels"))
     return cstate.CatalogState(
         norm=normp,
         token_df=spark.read.parquet(str(tmp / "token_df")),
-        sn_index=idxp,
-        sn_bounds=cstate.bounds_from_index(idxp),
+        sn_index=cstate.resolve_sn_index(idxp, bounds),
+        sn_bounds=bounds,
+        sn_stored=idxp,
+        labels=spark.read.parquet(str(tmp / "labels")),
         norm_paths=[str(tmp / "norm")],
+        sn_chain=[{"path": str(tmp / "sn_index"), "buckets": None}],
+        labels_chain=[str(tmp / "labels")],
     ), str(tmp / "norm")
 
 
@@ -216,10 +231,12 @@ def test_blocking_plan_reads_no_catalog_content(spark, state, work_new):
         assert "content" not in cols, cols
 
 
-def test_updated_state_equals_rebuild(spark, state, catalog, split_corpus):
+def test_updated_state_equals_rebuild(spark, state, catalog, split_corpus, tmp_path):
     """Incremental maintenance is exact: df' = df + delta counts equals a
-    from-scratch df over the union, and the merged key index is the union
-    order re-materialized (same keys, contiguous 1..N positions)."""
+    from-scratch df over the union, and the BUCKET-LOCAL merge (touched
+    buckets rewritten, untouched untouched, bounds re-prefix-summed)
+    resolves to the union order re-materialized (same keys, contiguous
+    1..N positions) — without any corpus re-sort (plan gate below)."""
     _, new = split_corpus
     st, _ = state
     norm_new = (
@@ -238,8 +255,18 @@ def test_updated_state_equals_rebuild(spark, state, catalog, split_corpus):
     want = {(r.tok, r.df) for r in cstate.build_token_df(union_norm).collect()}
     assert got == want
 
-    idx2, bounds2 = cstate.updated_sn_index(st, norm_new, num_buckets=8)
-    rows = idx2.select("rid", "name_norm", "pos").collect()
+    # bucket-local merge, persisted like the pipeline stage would persist it
+    merged = cstate.merge_sn_buckets(st, norm_new)
+    merged.write.parquet(str(tmp_path / "sn_touched"))
+    touched = spark.read.parquet(str(tmp_path / "sn_touched"))
+    bounds2 = cstate.merged_bounds(st.sn_bounds, touched)
+    touched_ids = {r.bucket for r in touched.select("bucket").distinct().collect()}
+    stored2 = st.sn_stored.filter(
+        ~F.col("bucket").isin(sorted(touched_ids))
+    ).unionByName(touched)
+    rows = cstate.resolve_sn_index(stored2, bounds2).select(
+        "rid", "name_norm", "pos"
+    ).collect()
     n = union_norm.count()
     assert len(rows) == n
     assert sorted(r.pos for r in rows) == list(range(1, n + 1))
@@ -247,6 +274,31 @@ def test_updated_state_equals_rebuild(spark, state, catalog, split_corpus):
     by_pos = sorted(rows, key=lambda r: r.pos)
     keys = [(r.name_norm, bytes(r.rid)) for r in by_pos]
     assert keys == sorted(keys)
+
+
+def test_maintenance_plan_is_bucket_local(spark, state, catalog, split_corpus):
+    """VERDICT r04 #2 plan gates: the maintenance plan contains NO range
+    sort (the corpus re-sort the old full rebuild paid per delta) and scans
+    the stored index WITH a bucket pruning filter; and VERDICT r04 #4: the
+    SN candidate derivation contains no BroadcastNestedLoopJoin (the old
+    non-equi bounds joins)."""
+    _, new = split_corpus
+    st, _ = state
+    norm_new = (
+        with_token_hashes(
+            normalize_records(new).join(catalog.select("rid"), "rid", "left_anti")
+        )
+        .withColumn("rid_b", F.unhex("rid"))
+    )
+    plan = _plan(cstate.merge_sn_buckets(st, norm_new))
+    assert "rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the touched-bucket predicate reaches the parquet scan
+    assert "In(bucket" in plan, "stored-index scan must be bucket-pruned"
+
+    work = norm_new.select(F.col("rid_b").alias("rid"), "name_norm")
+    cand_plan = _plan(_delta_sn_candidates(st, work, SN_WINDOW))
+    assert "BroadcastNestedLoopJoin" not in cand_plan
 
 
 def test_emit_delta_is_exact_upsert(spark, catalog, split_corpus, state, inc_nostate):
