@@ -28,6 +28,14 @@ pass the round-3 incremental path still paid:
   the buckets its keys land in (:func:`merge_sn_buckets`) — cost
   ≤ |touched buckets| · bucket size, never a corpus re-sort.
 
+- ``tok_index`` — inverted token postings (tbucket, tok, rid), the catalog
+  side of the delta token pass pre-exploded ONCE (round 5 — removes the
+  last corpus-proportional term in pairs_delta: the per-batch re-explode of
+  every catalog row's token array). Query: bucket-pruned scan via a literal
+  IN over the delta's token hash-buckets. Maintenance: APPEND-ONLY chain —
+  postings are facts about existing rids, insertion never rewrites one, so
+  a delta contributes a delta-sized element and compaction re-folds.
+
 - ``labels`` — the catalog's resolved (rid, entity_id) assignment, as an
   overlay CHAIN of per-batch upsert sets ("latest element containing a rid
   wins", :func:`_read_labels_chain`). This is what makes ``emit="delta"``
@@ -90,6 +98,14 @@ class CatalogState:
     norm_paths: list[str] | None = None  # manifest chain (None when in-memory)
     sn_chain: list[dict] | None = None  # [{"path": str, "buckets": None|[int]}]
     labels_chain: list[str] | None = None  # overlay: newest element wins per rid
+    # Inverted token postings (round 5): (tbucket, tok, rid) — the catalog
+    # side of the delta token pass reads THIS, bucket-pruned to the delta's
+    # token hash-buckets, instead of re-exploding the corpus token arrays
+    # per batch (the last corpus-proportional term in pairs_delta). None →
+    # the query path falls back to the norm-chain explode.
+    tok_postings: DataFrame | None = None
+    tok_chain: list[str] | None = None  # append-only (postings never change)
+    tok_buckets: int | None = None  # hash-bucket modulus the chain was built with
 
 
 def build_token_df(norm: DataFrame) -> DataFrame:
@@ -99,6 +115,34 @@ def build_token_df(norm: DataFrame) -> DataFrame:
         norm.select(F.explode("tokens").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("df"))
+    )
+
+
+def build_tok_postings(norm: DataFrame, num_buckets: int) -> DataFrame:
+    """Inverted token postings (tbucket, tok, rid) over a normalized relation.
+
+    The explode the delta token pass would otherwise pay per batch over the
+    whole catalog, paid ONCE at catalog build (and per delta for the delta's
+    own rows). ``tbucket = pmod(xxhash64(tok), num_buckets)`` so a delta's
+    probe tokens prune the scan to their buckets with a small literal IN
+    (the sn_index ``In(bucket`` precedent); ``repartitionByRange`` clusters
+    each bucket into a contiguous file range so parquet file/row-group stats
+    make the prune real. Production shape: num_buckets sized so one bucket
+    ≈ one healthy parquet file (~64 MB of postings), count growing with the
+    corpus — scan cost per batch is then |delta tokens| · bucket bytes,
+    independent of corpus size. Maintenance is APPEND-ONLY (postings are
+    facts about existing rids — insertion never rewrites one), so a delta
+    contributes a delta-sized chain element; :func:`compact_state` re-folds.
+    """
+    parallelism = norm.sparkSession.sparkContext.defaultParallelism
+    return (
+        norm.select(F.col("rid_b").alias("rid"), F.explode("tokens").alias("tok"))
+        .withColumn(
+            "tbucket",
+            F.pmod(F.xxhash64("tok"), F.lit(num_buckets)).cast("int"),
+        )
+        .repartitionByRange(parallelism, "tbucket", "tok")
+        .select("tbucket", "tok", "rid")
     )
 
 
@@ -368,10 +412,14 @@ def write_state_manifest(
     sn_chain: list[dict],
     labels_chain: list[str],
     emit: str = "full",
+    tok_chain: list[str] | None = None,
+    tok_buckets: int | None = None,
 ) -> None:
     """``emit`` is RECORDED so consumers can tell a delta-emit run_dir's
     partial entities sink from a full one (ADVICE r04 — chaining itself no
-    longer cares, it reads the labels chain)."""
+    longer cares, it reads the labels chain). ``tok_chain``/``tok_buckets``
+    record the inverted-postings overlay; absent (older v2 dirs) the query
+    path falls back to the norm-chain explode."""
     payload = {
         "version": STATE_VERSION,
         "norm_paths": norm_paths,
@@ -379,6 +427,9 @@ def write_state_manifest(
         "labels_chain": labels_chain,
         "emit": emit,
     }
+    if tok_chain is not None:
+        payload["tok_chain"] = tok_chain
+        payload["tok_buckets"] = tok_buckets
     (Path(run_dir) / STATE_MANIFEST).write_text(json.dumps(payload, indent=1))
 
 
@@ -462,6 +513,10 @@ def load_catalog_state(spark: SparkSession, run_dir: str) -> CatalogState:
     labels_chain = manifest["labels_chain"]
     stored = _read_sn_chain(spark, sn_chain)
     bounds = spark.read.parquet(str(Path(run_dir) / "sn_bounds"))
+    tok_chain = manifest.get("tok_chain")
+    tok_postings = (
+        spark.read.parquet(*tok_chain) if tok_chain else None
+    )  # append-only overlay: plain union, no shadowing
     return CatalogState(
         norm=spark.read.parquet(*norm_paths),
         token_df=spark.read.parquet(str(Path(run_dir) / "token_df")),
@@ -472,12 +527,19 @@ def load_catalog_state(spark: SparkSession, run_dir: str) -> CatalogState:
         norm_paths=norm_paths,
         sn_chain=sn_chain,
         labels_chain=labels_chain,
+        tok_postings=tok_postings,
+        tok_chain=tok_chain,
+        tok_buckets=manifest.get("tok_buckets"),
     )
 
 
-def state_from_norm(norm: DataFrame, num_buckets: int | None = None) -> CatalogState:
+def state_from_norm(
+    norm: DataFrame,
+    num_buckets: int | None = None,
+    tok_buckets: int = 32,
+) -> CatalogState:
     """In-memory state from a normalized catalog (tests / ad-hoc use; the
-    pipeline persists the same three relations as stages)."""
+    pipeline persists the same relations as stages)."""
     stored, bounds = build_sn_index(norm, num_buckets=num_buckets)
     return CatalogState(
         norm=norm,
@@ -485,6 +547,8 @@ def state_from_norm(norm: DataFrame, num_buckets: int | None = None) -> CatalogS
         sn_index=resolve_sn_index(stored, bounds),
         sn_bounds=bounds,
         sn_stored=stored,
+        tok_postings=build_tok_postings(norm, tok_buckets),
+        tok_buckets=tok_buckets,
     )
 
 
@@ -531,11 +595,27 @@ def compact_state(
     labels_path = str(out / "labels")
     state.labels.write.parquet(labels_path)
 
+    tok_chain = None
+    tok_buckets = state.tok_buckets
+    if state.tok_postings is not None and tok_buckets is not None:
+        # Fold the append-only postings overlay and restore the range
+        # clustering bucket-pruning relies on (many appended elements each
+        # cover the full tbucket range; one re-clustered parquet does not).
+        tok_path = str(out / "tok_index")
+        (
+            state.tok_postings.repartitionByRange(
+                spark.sparkContext.defaultParallelism, "tbucket", "tok"
+            ).write.parquet(tok_path)
+        )
+        tok_chain = [tok_path]
+
     write_state_manifest(
         str(out),
         [norm_path],
         sn_chain=[{"path": idx_path, "buckets": None}],
         labels_chain=[labels_path],
         emit="full",
+        tok_chain=tok_chain,
+        tok_buckets=tok_buckets,
     )
     return str(out)

@@ -19,10 +19,12 @@ Two cost regimes, selected by the ``state`` argument:
   re-normalized), document frequencies are maintained incrementally
   (df' = df + delta counts, exact), and the sorted-neighborhood pass range-
   joins delta keys into the persisted (name_norm, rid) key index instead of
-  re-sorting the union corpus. Remaining corpus-proportional work: one
-  narrow columnar scan of the catalog's token arrays filtered to the
-  delta's token set (no shuffle — broadcast probe; an inverted tok→rid
-  index partition-pruned by token hash would remove even that), and the
+  re-sorting the union corpus. Round 5: the catalog side of the token pass
+  reads the persisted inverted postings (catalog_state.build_tok_postings),
+  bucket-pruned by the delta's token hash-buckets — the per-batch
+  re-explode of every catalog token array (the last corpus-proportional
+  term in candidate generation) is gone; pre-postings state dirs fall back
+  to the norm-chain explode. Remaining corpus-proportional work: only the
   final full-table emit when ``emit="full"`` (use ``emit="delta"`` to emit
   only new + possibly-relabeled rows, i.e. an upsert set).
 
@@ -137,35 +139,77 @@ def incremental_token_pairs_state(
     corpus (tested equal): the hot set is derived from
     df_union = state.token_df + delta counts — exact, because tokenize emits
     distinct tokens per record and catalog/delta rid sets are disjoint — and
-    the catalog side of the join is the persisted token arrays filtered to
-    the delta's cold-token set BEFORE the exchange (broadcast probe: tokens
-    absent from the delta can produce no delta-touching pair). The catalog's
-    content column is never read, nothing corpus-sized is re-aggregated.
+    the catalog side of the join is filtered to the delta's cold-token set
+    BEFORE the exchange (broadcast probe: tokens absent from the delta can
+    produce no delta-touching pair). With a postings chain
+    (state.tok_postings) the catalog side is the persisted inverted index,
+    bucket-pruned to the delta's token hash-buckets — no corpus token array
+    is re-exploded; without one it falls back to exploding the norm chain's
+    token arrays. The catalog's content column is never read, nothing
+    corpus-sized is re-aggregated.
     """
     tok_new = work_new.select("rid", F.explode("tokens").alias("tok"))
     df_new = tok_new.groupBy("tok").agg(F.count("*").alias("dfn"))
-    # Hot set over the UNION dfs. Only tokens the delta touches can matter
-    # to the join below, but the hot list must still be union-wide correct
-    # for those tokens — the full-outer keeps catalog-only tokens out of the
-    # broadcast by post-filtering on delta presence.
+    # Hot set over the UNION dfs. Only delta-present tokens can matter, so
+    # semi-filter the vocabulary FIRST with a broadcast of the delta's
+    # (distinct, delta-sized) token list — one narrow vocab scan, no
+    # shuffle — then take the union-df threshold over two delta-sized
+    # relations (the earlier full-outer here shuffled the whole vocabulary
+    # per batch: vocab-proportional exchange, measured ~1 s/batch at a
+    # 1.27M-token vocab). Union-wide correct for every delta token: its
+    # catalog df rides in via the semi-filtered slice, catalog-only tokens
+    # can never be hot-for-the-delta because they never join anything.
+    tok_df_delta = state.token_df.join(
+        F.broadcast(df_new.select("tok")), "tok"
+    )
     hot = (
-        state.token_df.join(df_new, "tok", "full_outer")
+        df_new.join(tok_df_delta, "tok", "left")
         .filter(
-            (F.coalesce("df", F.lit(0)) + F.coalesce("dfn", F.lit(0))) > df_cap
+            (F.coalesce("df", F.lit(0)) + F.col("dfn")) > df_cap
         )
-        .filter(F.col("dfn").isNotNull())  # only delta-present tokens join
         .select("tok")
     )
     new_cold = tok_new.join(F.broadcast(hot), "tok", "left_anti").withColumn(
         "is_new", F.lit(True)
     )
+    # Pin the delta's cold postings (delta-sized): the hot-set derivation
+    # above joins the FULL vocabulary token_df, and the postings branch
+    # below adds a driver-side collect (tbs) on top of the main action —
+    # without the pin each action would recompute that vocab-sized join.
+    # Same pattern as the S pin in delta_sn_pairs / blocking's seam pin.
+    new_cold = new_cold.localCheckpoint()
     delta_toks = new_cold.select("tok").distinct()
-    old_cold = (
-        state.norm.select(F.col("rid_b").alias("rid"), "tokens")
-        .select("rid", F.explode("tokens").alias("tok"))
-        .join(F.broadcast(delta_toks), "tok")
-        .withColumn("is_new", F.lit(False))
-    )
+    if state.tok_postings is not None and state.tok_buckets:
+        # Inverted-postings catalog side (round 5): scan the persisted
+        # (tbucket, tok, rid) chain bucket-pruned to the delta's token
+        # hash-buckets — a literal IN over ≤ min(|delta tokens|, B) ids,
+        # collected driver-side (delta-sized job; the merge_sn_buckets
+        # precedent) — instead of re-exploding every catalog token array.
+        # Exact: any tok in delta_toks has its tbucket in the IN list by
+        # construction, so the prune is lossless before the tok equi-join.
+        tbs = sorted(
+            r.tbucket
+            for r in delta_toks.select(
+                F.pmod(F.xxhash64("tok"), F.lit(state.tok_buckets))
+                .cast("int")
+                .alias("tbucket")
+            )
+            .distinct()
+            .collect()
+        )
+        old_cold = (
+            state.tok_postings.filter(F.col("tbucket").isin(tbs))
+            .join(F.broadcast(delta_toks), "tok")
+            .select("rid", "tok")
+            .withColumn("is_new", F.lit(False))
+        )
+    else:
+        old_cold = (
+            state.norm.select(F.col("rid_b").alias("rid"), "tokens")
+            .select("rid", F.explode("tokens").alias("tok"))
+            .join(F.broadcast(delta_toks), "tok")
+            .withColumn("is_new", F.lit(False))
+        )
     b_side = old_cold.unionByName(new_cold)
     a, b = new_cold.alias("a"), b_side.hint("shuffle_hash").alias("b")
     return (

@@ -41,6 +41,11 @@ class MatcherConfig:
     token_df_cap: int = DEFAULT_TOKEN_DF_CAP
     sn_window: int = DEFAULT_SN_WINDOW
     sn_buckets: int = 32
+    # Hash-bucket modulus of the persisted inverted token postings
+    # (catalog_state.build_tok_postings). Production: sized so one bucket is
+    # a healthy parquet file (~64 MB of postings) — the count GROWS with the
+    # corpus while per-batch probe cost stays |delta tokens| · bucket bytes.
+    tok_buckets: int = 32
     weights: dict = field(default_factory=lambda: dict(DEFAULT_WEIGHTS))
     threshold: float = DEFAULT_THRESHOLD
     salt_buckets: int = 0  # >0 → salted attribute fan-in join

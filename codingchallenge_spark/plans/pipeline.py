@@ -62,6 +62,7 @@ STAGES = [
     "token_df",
     "sn_index",
     "sn_bounds",
+    "tok_index",
 ]
 
 DELTA_STAGES = [
@@ -359,6 +360,11 @@ def run_pipeline(
     stage(
         "sn_bounds", ["sn_index"], lambda: cstate.bounds_from_index(sn_index)
     )
+    stage(
+        "tok_index",
+        ["normalize"],
+        lambda: cstate.build_tok_postings(norm, cfg.tok_buckets),
+    )
     cstate.write_state_manifest(
         run_dir,
         [ckpt.stage_path(run_dir, "normalize")],
@@ -370,6 +376,8 @@ def run_pipeline(
         # delta-sized upsert element per maintained delta run.
         labels_chain=[ckpt.stage_path(run_dir, "cc")],
         emit="full",
+        tok_chain=[ckpt.stage_path(run_dir, "tok_index")],
+        tok_buckets=cfg.tok_buckets,
     )
     return PipelineRun(
         entities=entities, executed=executed, skipped=skipped, run_dir=run_dir
@@ -395,12 +403,14 @@ def run_delta_pipeline(
     Stage graph (each a fingerprinted parquet sink; an interrupted ingest
     resumes after the last completed stage):
 
-        [catalog_norm → token_df_cat → sn_index_cat]   (only when no
+        [catalog_norm → token_df_cat → sn_index_cat → tok_index_cat]
+                                                       (only when no
                                                         persisted state —
                                                         builds one in-run)
         normalize_delta → pairs_delta → score_delta → edges_delta
         → cc_delta → entities_delta
-        [→ token_df / sn_index / sn_bounds + state.json]  (maintain_state:
+        [→ token_df / sn_index / sn_bounds / tok_index + state.json]
+                                                       (maintain_state:
                                                         the run_dir becomes
                                                         a valid catalog
                                                         state for the NEXT
@@ -482,6 +492,11 @@ def run_delta_pipeline(
             ["catalog_norm"],
             lambda: cstate.build_sn_index(cat_norm, num_buckets=cfg.sn_buckets)[0],
         )
+        tok_idx_cat = stage(
+            "tok_index_cat",
+            ["catalog_norm"],
+            lambda: cstate.build_tok_postings(cat_norm, cfg.tok_buckets),
+        )
         labels_cat = stage("labels_cat", [], lambda: labels_old_b)
         bounds_cat = cstate.bounds_from_index(idx_cat)
         state = cstate.CatalogState(
@@ -499,6 +514,9 @@ def run_delta_pipeline(
                 }
             ],
             labels_chain=[ckpt.stage_path(run_dir, "labels_cat")],
+            tok_postings=tok_idx_cat,
+            tok_chain=[ckpt.stage_path(run_dir, "tok_index_cat")],
+            tok_buckets=cfg.tok_buckets,
         )
         labels_old_b = labels_cat  # downstream reads the persisted stage
 
@@ -628,6 +646,23 @@ def run_delta_pipeline(
             ["sn_index"],
             lambda: cstate.merged_bounds(state.sn_bounds, idx_touched),
         )
+        # Inverted-postings maintenance: APPEND-ONLY — the delta's own
+        # postings become a delta-sized chain element; no catalog posting is
+        # ever rewritten (only catalogs that carry a postings chain maintain
+        # one — pre-postings state dirs keep the norm-explode fallback).
+        if state.tok_chain is not None and state.tok_buckets:
+            stage(
+                "tok_index",
+                ["normalize_delta"],
+                lambda: cstate.build_tok_postings(
+                    norm_delta, state.tok_buckets
+                ),
+            )
+            tok_chain_next = list(state.tok_chain) + [
+                ckpt.stage_path(run_dir, "tok_index")
+            ]
+        else:
+            tok_chain_next = None
         # Touched-bucket ids for the manifest, from the PERSISTED element
         # (delta-proportional distinct over a delta-sized stage).
         touched_ids = sorted(
@@ -648,6 +683,8 @@ def run_delta_pipeline(
             labels_chain=list(state.labels_chain)
             + [ckpt.stage_path(run_dir, "cc_delta")],
             emit=emit,
+            tok_chain=tok_chain_next,
+            tok_buckets=state.tok_buckets if tok_chain_next else None,
         )
     return PipelineRun(
         entities=entities,

@@ -48,7 +48,8 @@ available on demand via ``plans.pipeline.current_entities`` (a lazy read
 paid by the consumer who asks for it). Disk and chain growth are bounded
 twice: :func:`prune_superseded` strips superseded run_dirs down to the
 sinks the state manifest still references (normalize_delta / sn_index /
-cc_delta), and every ``compact_every`` batches the chains are folded back
+tok_index / cc_delta), and every ``compact_every`` batches the chains are
+folded back
 to single elements (plans.catalog_state.compact_state) and the superseded
 batch dirs deleted outright — the periodic, amortized corpus-proportional
 event that keeps every per-batch cost delta-sized.
@@ -81,7 +82,13 @@ INGEST_ID_FILE = "INGEST_ID"
 # sn_chain references every batch's sn_index overlay element (the
 # touched-bucket merge), and its labels_chain references every batch's
 # cc_delta touched-label element — all delta-sized.
-PRUNE_KEEP = {"normalize_delta", "sn_index", "cc_delta", INGEST_ID_FILE}
+PRUNE_KEEP = {
+    "normalize_delta",
+    "sn_index",
+    "tok_index",
+    "cc_delta",
+    INGEST_ID_FILE,
+}
 
 
 def _pointer_path(out_dir: str) -> Path:

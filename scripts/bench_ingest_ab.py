@@ -70,6 +70,17 @@ def main() -> int:
     ap.add_argument("--delta", type=int, default=1_000)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--master", default="local[8]")
+    # Production bucket policy for the PERSISTED sn_index: hold rows-per-
+    # bucket constant so bucket COUNT grows with the corpus (the catalog_
+    # state.py docstring's "~64k rows per bucket at 10^12 files", scaled
+    # down). With the default fixed sn_buckets=32 a |delta| ≥ 32·coverage
+    # touches EVERY bucket at both scales, so the bucket-local merge
+    # degenerates to a full-corpus rewrite and the maintained ratio reads
+    # corpus-proportional — a measurement artifact of bucket-count
+    # saturation, not the maintenance design. Flatness needs
+    # num_buckets > |delta| at both scales; 0 keeps today's shared-cfg
+    # behavior.
+    ap.add_argument("--target-bucket-rows", type=int, default=0)
     args = ap.parse_args()
 
     n_small, n_big, n_delta = args.n_small, 10 * args.n_small, args.delta
@@ -87,8 +98,14 @@ def main() -> int:
         "n_small": n_small, "n_big": n_big, "n_delta": n_delta,
         "trials": args.trials, "master": args.master,
     }
-    cfg = MatcherConfig()
     for label, n in (("small", n_small), ("big", n_big)):
+        if args.target_bucket_rows > 0:
+            cfg = MatcherConfig(
+                sn_buckets=max(8, -(-n // args.target_bucket_rows))
+            )
+            out[f"sn_buckets_{label}"] = cfg.sn_buckets
+        else:
+            cfg = MatcherConfig()
         cat_records = spark.createDataFrame(recs.iloc[:n])
         run_dir = tempfile.mkdtemp(prefix=f"ingest_ab_{label}_")
         t0 = time.monotonic()

@@ -91,6 +91,7 @@ def state(spark, catalog, tmp_path_factory):
         guarded_unhex("rid", "t").alias("rid"),
         guarded_unhex("entity_id", "t").alias("entity_id"),
     ).write.parquet(str(tmp / "labels"))
+    cstate.build_tok_postings(normp, 16).write.parquet(str(tmp / "tok_index"))
     return cstate.CatalogState(
         norm=normp,
         token_df=spark.read.parquet(str(tmp / "token_df")),
@@ -101,6 +102,9 @@ def state(spark, catalog, tmp_path_factory):
         norm_paths=[str(tmp / "norm")],
         sn_chain=[{"path": str(tmp / "sn_index"), "buckets": None}],
         labels_chain=[str(tmp / "labels")],
+        tok_postings=spark.read.parquet(str(tmp / "tok_index")),
+        tok_chain=[str(tmp / "tok_index")],
+        tok_buckets=16,
     ), str(tmp / "norm")
 
 
@@ -229,6 +233,48 @@ def test_blocking_plan_reads_no_catalog_content(spark, state, work_new):
     assert "sha2" not in cand_plan
     for cols in norm_scan_cols(cand_plan):
         assert "content" not in cols, cols
+
+
+def test_tok_postings_path_equals_fallback(spark, state, work_new):
+    """The inverted-postings catalog side produces the SAME pair multiset as
+    the norm-chain explode it replaces (round 5): postings = explode(norm)
+    by construction, and the tbucket prune is lossless — every probe token's
+    bucket is in the IN list."""
+    import dataclasses
+
+    from codingchallenge_spark.plans.incremental import (
+        incremental_token_pairs_state,
+    )
+
+    st, _ = state
+    st_noidx = dataclasses.replace(st, tok_postings=None, tok_chain=None)
+
+    def rows(df):
+        return sorted(
+            (bytes(r.rid1).hex(), bytes(r.rid2).hex(), r.block_key)
+            for r in df.collect()
+        )
+
+    got = incremental_token_pairs_state(st, work_new, df_cap=50)
+    ref = incremental_token_pairs_state(st_noidx, work_new, df_cap=50)
+    assert rows(got) == rows(ref)
+    assert len(rows(got)) > 0  # non-vacuous on this corpus
+
+
+def test_token_pass_plan_is_bucket_pruned(spark, state, work_new):
+    """Plan gate (round 5): with a postings chain the token pass scans the
+    tok_index parquet with the tbucket IN literal REACHING the scan, and the
+    catalog side never explodes the norm chain's token arrays (the norm
+    parquet is absent from the token-pass plan entirely)."""
+    from codingchallenge_spark.plans.incremental import (
+        incremental_token_pairs_state,
+    )
+
+    st, norm_path = state
+    plan = _plan(incremental_token_pairs_state(st, work_new, df_cap=50))
+    assert "tok_index" in plan, "catalog side must read the postings index"
+    assert re.search(r"PushedFilters:[^\n]*In\(tbucket", plan), plan[:2000]
+    assert norm_path not in plan, "norm chain must not be scanned"
 
 
 def test_updated_state_equals_rebuild(spark, state, catalog, split_corpus, tmp_path):

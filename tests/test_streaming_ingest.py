@@ -144,7 +144,7 @@ def test_stream_restart_processes_only_new_files(
     assert markers_before, "batch 0 left no stage markers"
     kept_markers = {
         str(Path(ptr1) / stage / "_STAGE_DONE")
-        for stage in ("normalize_delta", "sn_index", "cc_delta")
+        for stage in ("normalize_delta", "sn_index", "tok_index", "cc_delta")
     }
 
     _land(src, "delta-b.parquet", db, t0 + 100)
