@@ -46,6 +46,64 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scan_row_groups(sf_dir: str, name: str) -> int | None:
+    """Total parquet row groups of a testdata table — the scan's EFFECTIVE
+    max parallelism. Spark splits files by byte range, but a task only reads
+    row groups whose start offset falls inside its range, so a file's
+    row-group count (not its split count, which `df.rdd.getNumPartitions()`
+    reports) bounds how many tasks can do real work. Returns None when the
+    path is not locally inspectable (e.g. an object-store URI) — callers
+    fall back to the split count."""
+    try:
+        from pathlib import Path
+
+        import pyarrow.parquet as pq
+
+        path = Path(f"{sf_dir}/{name}.parquet")
+        if path.is_file():
+            files = [path]
+        elif path.is_dir():
+            files = sorted(p for p in path.rglob("*.parquet") if p.is_file())
+        else:
+            return None
+        return sum(pq.ParquetFile(str(f)).metadata.num_row_groups for f in files)
+    except Exception:
+        return None
+
+
+def _t_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan with a partition floor for compute-dense queries (round 6).
+
+    A compact parquet input written as a single row group scans as ONE task —
+    Spark splits files by byte range but a task only reads row groups whose
+    start offset falls in its range, so split-size configs cannot parallelize
+    inside a row group (the driver's sf1.0 `documents`/`embeddings` tables
+    are exactly that: one row group each). Every downstream per-row
+    computation (9.3M md5s in the MinHash signature pass, 660k array
+    intersections in q_jaccard_pairs, 200k interpreted cosine folds) then
+    runs on one core of 32: measured 8.0 s → 2.3 s (LSH), 9.2 s → 0.9 s
+    (jaccard) at sf1.0 from this floor alone. The round-robin repartition is
+    CONDITIONAL on the scan's EFFECTIVE parallelism — min(splits, total row
+    groups) — being below the session's parallelism, so at production scale
+    (many files / many row groups) it is a no-op: the same guard
+    plans.matcher.resolve_entities has always used for the flagship, with
+    the row-group bound added because split count alone over-reports (byte
+    ranges that contain no row-group start scan nothing). Only applied to
+    queries whose post-scan per-row work dominates the scan; scan-bound
+    relational queries keep the bare `_t` (an extra exchange would only add
+    cost there).
+    """
+    df = _t(spark, sf_dir, name)
+    parallelism = spark.sparkContext.defaultParallelism
+    effective = df.rdd.getNumPartitions()
+    row_groups = _scan_row_groups(sf_dir, name)
+    if row_groups is not None:
+        effective = min(effective, row_groups)
+    if effective < parallelism:
+        df = df.repartition(parallelism)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Relational core (P/J/A/W/U operators) over the TPC-H-ish tables
 # ---------------------------------------------------------------------------
@@ -120,7 +178,7 @@ SQL_NORM_STRING = (
 
 def q_tokenize_counts(spark, sf_dir):
     return (
-        _t(spark, sf_dir, "documents")
+        _t_par(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
@@ -455,7 +513,7 @@ SQL_SALTED_JOIN = (
 
 def q_explode_selfjoin(spark, sf_dir):
     # Token-blocking join shape: per-token count of candidate doc pairs.
-    d = _t(spark, sf_dir, "documents")
+    d = _t_par(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
@@ -479,7 +537,7 @@ SQL_EXPLODE_SELFJOIN = (
 def q_levenshtein(spark, sf_dir):
     # V2 semantics check via the JVM builtin: raw distance + the normalized
     # ratio the matcher thresholds on (merged from the former q_lev_ratio).
-    p = _t(spark, sf_dir, "part")
+    p = _t_par(spark, sf_dir, "part")
     denom = F.greatest(F.length("p_name"), F.length("p_brand"), F.lit(1))
     return p.select(
         "p_partkey",
@@ -498,7 +556,7 @@ SQL_LEVENSHTEIN = (
 def q_jaro_winkler(spark, sf_dir):
     # The numpy pandas-UDF kernel vs DuckDB's C++ jaro_winkler_similarity:
     # conventions verified identical (strcmp95); rounded to 6 for FP safety.
-    return _t(spark, sf_dir, "part").select(
+    return _t_par(spark, sf_dir, "part").select(
         "p_partkey", F.round(jaro_winkler_udf("p_name", "p_type"), 6).alias("jw")
     )
 
@@ -510,23 +568,39 @@ SQL_JARO_WINKLER = (
 
 
 def q_jaccard_pairs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").select(
+    # Round 6: (a) partition floor — the blocked self-join's per-pair work ran
+    # on the single-row-group scan's one task; (b) one set operation per pair
+    # instead of three. token_jaccard evaluates array_union TWICE (once in the
+    # CASE guard, once in the divisor) plus array_intersect; for DISTINCT
+    # arrays |A∪B| = |A|+|B| − |A∩B| exactly, and the per-record sizes are
+    # computed once before the join — so the pair kernel is a single
+    # array_intersect and the jaccard double is the SAME integer division
+    # (size ints unchanged → identical IEEE result; null/empty handling
+    # identical: any null side nulls the guard and falls to the 1.0 branch,
+    # exactly like size(array_union(null, x))). Measured 9.2 s → 0.65 s at
+    # sf1.0 (floor 9.2→0.9, kernel 0.9→0.65).
+    d = _t_par(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars",
         F.array_distinct(F.split("text", " ")).alias("toks"),
-    )
+    ).withColumn("n", F.size("toks"))
     a, b = d.alias("a"), d.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.n_chars") == F.col("b.n_chars"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            token_jaccard(F.col("a.toks"), F.col("b.toks")).alias("jaccard"),
-        )
+    paired = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.n_chars") == F.col("b.n_chars"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("d1"),
+        F.col("b.doc_id").alias("d2"),
+        F.size(F.array_intersect("a.toks", "b.toks")).alias("_i"),
+        (F.col("a.n") + F.col("b.n")).alias("_t"),
+    )
+    return paired.select(
+        "d1", "d2",
+        F.when(
+            (F.col("_t") - F.col("_i")) > 0,
+            F.col("_i") / (F.col("_t") - F.col("_i")),
+        ).otherwise(F.lit(1.0)).alias("jaccard"),
     )
 
 
@@ -547,7 +621,7 @@ SQL_JACCARD_PAIRS = (
 
 
 def q_dedup_exact(spark, sf_dir):
-    return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return exact_dedup(_t_par(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 SQL_DEDUP_EXACT = (
@@ -557,7 +631,7 @@ SQL_DEDUP_EXACT = (
 
 
 def q_dedup_fingerprint(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t_par(spark, sf_dir, "documents")
     return (
         d.select(fingerprint("text").alias("fp"), "doc_id")
         .groupBy("fp")
@@ -579,7 +653,7 @@ def _mh_sql(i: int) -> str:
 
 
 def q_minhash_sig(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t_par(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
     sig = minhash_signature(F.col("toks"), k=4)
@@ -600,7 +674,7 @@ SQL_MINHASH_SIG = (
 def q_minhash_lsh_pairs(spark, sf_dir):
     from codingchallenge_spark.operators.dedup import minhash_lsh_pairs
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t_par(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
     return minhash_lsh_pairs(
@@ -639,7 +713,7 @@ def q_minhash_lsh_prod(spark, sf_dir):
     # bucket counts + HAVING > cap anti-join).
     from codingchallenge_spark.operators.dedup import minhash_lsh_pairs
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t_par(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
     return minhash_lsh_pairs(d, "doc_id", "toks", k=8, bands=4)
@@ -664,7 +738,7 @@ SQL_MINHASH_LSH_PROD = (
 
 
 def q_simhash16(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t_par(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
     return d.select("doc_id", simhash16(F.col("toks")).alias("simhash"))
@@ -685,7 +759,7 @@ SQL_SIMHASH16 = (
 
 def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"),
+        _t_par(spark, sf_dir, "documents"),
         "doc_id",
         "text",
         ["lang", "n_chars"],
@@ -719,7 +793,7 @@ SQL_NGRAM_JACCARD = (
 # ---------------------------------------------------------------------------
 
 def q_token_count(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t_par(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         ws_token_count("text").alias("ws_cnt"),
@@ -737,7 +811,7 @@ SQL_TOKEN_COUNT = (
 def q_quality(spark, sf_dir):
     from codingchallenge_spark.functions.text import quality_score
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_par(spark, sf_dir, "documents")
     m = quality_metrics(F.col("text"))
     return d.select(
         "doc_id",
@@ -779,7 +853,7 @@ SQL_QUALITY = (
 
 
 def q_langid(spark, sf_dir):
-    return _t(spark, sf_dir, "documents").select(
+    return _t_par(spark, sf_dir, "documents").select(
         "doc_id", langid("text").alias("lang_pred")
     )
 
@@ -810,7 +884,7 @@ SQL_LANGID = _langid_sql()
 
 def q_name_norm_docs(spark, sf_dir):
     # name_norm (P5) applied to a derived path — same derivation in SQL.
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t_par(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(F.lit("docs/"), F.col("source"), F.lit("/File_"),
                  F.col("doc_id").cast("string"), F.lit(".TXT")).alias("path"),
@@ -831,7 +905,7 @@ SQL_NAME_NORM_DOCS = (
 # ---------------------------------------------------------------------------
 
 def q_cosine_topk(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t_par(spark, sf_dir, "embeddings")
     return brute_force_topk(
         e, e.filter(F.col("vec_id") < 10), id_col="vec_id", vec_col="embedding", k=5
     )
@@ -854,7 +928,7 @@ SQL_COSINE_TOPK = (
 
 
 def q_embedding_neardup(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _t_par(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
@@ -892,7 +966,7 @@ def _media_view(spark, sf_dir) -> DataFrame:
     """Deterministic media table derived from documents: payload is the UTF-8
     encoding of text (an opaque binary stand-in — no codec libs exist here),
     metadata typed per MEDIA_SCHEMA. Same derivation is expressible in SQL."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_par(spark, sf_dir, "documents")
     return d.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.lit("audio").alias("modality"),
@@ -1021,7 +1095,7 @@ def q_ann_lsh(spark, sf_dir):
     # (min |dot| ≥ 3e-5 vs ~1e-15 noise) is machine-checked there too.
     from codingchallenge_spark.operators.ann import lsh_topk
 
-    return lsh_topk(_t(spark, sf_dir, "embeddings"), k=5, sketch="jvm")
+    return lsh_topk(_t_par(spark, sf_dir, "embeddings"), k=5, sketch="jvm")
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -1030,7 +1104,7 @@ def q_ann_ivf(spark, sf_dir):
     from codingchallenge_spark.operators.ann import ivf_topk
 
     return ivf_topk(
-        _t(spark, sf_dir, "embeddings"),
+        _t_par(spark, sf_dir, "embeddings"),
         k=5,
         n_centroids=16,
         n_probe=4,
@@ -1315,7 +1389,7 @@ def q_simhash64(spark, sf_dir):
     # aggregates) — zero Python eval nodes (asserted in test_plan_quality).
     from codingchallenge_spark.operators.dedup import simhash64_exploded
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t_par(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
     return simhash64_exploded(d, "doc_id", "toks")

@@ -67,7 +67,15 @@ def test_whole_stage_codegen_covers_quality_metrics(spark):
     df = queries()["q_quality"](spark, SF)
     plan = _plan(df)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
-    assert "\n+- * " in plan or "WholeStageCodegen" in plan, plan
+    # Since round 6 the query carries a partition-floor Exchange, so the lazy
+    # AQE plan prints without codegen markers (isFinalPlan=false hides the
+    # WholeStageCodegen wrapping). Execute THIS DataFrame's QueryExecution
+    # (collect of 50 rows at sf0.001 — a noop write would clone the plan and
+    # leave df's own AQE state unfinalized) and assert on the FINAL plan.
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in final and "BatchEvalPython" not in final
+    assert "*(" in final or "WholeStageCodegen" in final, final
 
 
 def test_content_never_enters_blocking_or_scoring(spark, tiny_records):
