@@ -95,7 +95,15 @@ def _small_star_raw(edges: DataFrame, num_partitions: int | None = None) -> Data
     and a row_number that emits the (src → m) center edge exactly once —
     ONE exchange where the groupBy+join+union form takes two. Min-aggregation
     is duplicate-insensitive, so un-deduped large-star output feeds this
-    directly; a single dedup per round happens in the caller's canon."""
+    directly; a single dedup per round happens in the caller's canon.
+
+    Round 6: member and center rows are emitted from ONE windowed pass via a
+    conditional explode. The former members ∪ centers union read the shared
+    window subtree through two plan branches, and exchange reuse only
+    de-duplicates the SHUFFLE — each branch re-ran the window sort, one extra
+    stage per CC round. The explode emits the identical row multiset
+    (member (dst → m) per row, plus the (src → m) center exactly when
+    rn = 1) from a single window stage."""
     directed = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     )
@@ -105,9 +113,16 @@ def _small_star_raw(edges: DataFrame, num_partitions: int | None = None) -> Data
     ranked = directed.withColumn("rn", F.row_number().over(w)).withColumn(
         "m", F.first("dst").over(w)
     )
-    members = ranked.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-    centers = ranked.filter(F.col("rn") == 1).select("src", F.col("m").alias("dst"))
-    return members.unionByName(centers)
+    member = F.struct(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    center = F.struct(F.col("src").alias("src"), F.col("m").alias("dst"))
+    out = ranked.select(
+        F.explode(
+            F.when(F.col("rn") == 1, F.array(member, center)).otherwise(
+                F.array(member)
+            )
+        ).alias("_e")
+    )
+    return out.select("_e.src", "_e.dst")
 
 
 def small_star(edges: DataFrame) -> DataFrame:
@@ -224,34 +239,81 @@ def connected_components(
     # of an eager-checkpoint job plus a fingerprint job.
     cur = _canon_edges(edges.select("src", "dst")).localCheckpoint(eager=False)
     iterations = 0
-    converged, n_edges = _star_test_and_count(cur)
-    while not converged and iterations < max_iterations:
-        iterations += 1
-        n = (
-            _adaptive_partitions(n_edges, spark, target_rows_per_partition)
-            if target_rows_per_partition
-            else None
-        )
-        # Raw composition: one canon (dedup shuffle) per round, not two —
-        # small-star's min is duplicate-insensitive, so large-star's
-        # intermediate dedup would buy nothing.
-        nxt = _canon_edges(_small_star_raw(_large_star_raw(cur, n), n), n)
-        if iter_dir is not None:
-            path = f"{iter_dir}/edges_iter_{iterations:03d}.parquet"
-            nxt.write.mode("overwrite").parquet(path)
-            nxt = spark.read.parquet(path)
-        else:
-            nxt = nxt.localCheckpoint(eager=False)
-        converged, n_edges = _star_test_and_count(nxt, n)
-        cur = nxt
+    converged = False
+    n_edges: int | None = None
+    # Round 6: no up-front star test. The old loop spent one full job testing
+    # the INPUT before round 1; star steps are identity on a converged set,
+    # so running round 1 unconditionally returns the same edges (and labels)
+    # while the test rides round 1's own action — one job saved on every
+    # invocation, at worst one identity round on an already-converged input.
+    # Round 1 is sized at the configured ceiling (n=None) because no observed
+    # count exists yet — exactly the non-adaptive production plan.
+    #
+    # Small-regime rounds (adaptive n fired, i.e. the live edge set is below
+    # the partition ceiling) additionally run with AQE DISABLED: under AQE
+    # every exchange materializes as its own mini-job with driver re-planning
+    # between stages, which at these sizes is pure per-round latency — the
+    # round's exchanges are already explicitly sized by n, so AQE has nothing
+    # left to decide (coalescing is redundant, and rounds contain no joins
+    # for skew-split to act on). Production-width rounds (n=None) keep AQE
+    # untouched. Measured ~0.2 s/round on the sf1.0 flagship tail. The flag
+    # is restored in a finally even on job failure.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        while not converged and iterations < max_iterations:
+            iterations += 1
+            n = (
+                _adaptive_partitions(n_edges, spark, target_rows_per_partition)
+                if target_rows_per_partition and n_edges is not None
+                else None
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.enabled",
+                "false" if n is not None else prev_aqe,
+            )
+            # Raw composition: one canon (dedup shuffle) per round, not two —
+            # small-star's min is duplicate-insensitive, so large-star's
+            # intermediate dedup would buy nothing.
+            nxt = _canon_edges(_small_star_raw(_large_star_raw(cur, n), n), n)
+            if iter_dir is not None:
+                path = f"{iter_dir}/edges_iter_{iterations:03d}.parquet"
+                nxt.write.mode("overwrite").parquet(path)
+                nxt = spark.read.parquet(path)
+            else:
+                nxt = nxt.localCheckpoint(eager=False)
+            converged, n_edges = _star_test_and_count(nxt, n)
+            cur = nxt
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
     # At the fixpoint every component is a star centered at its min node:
     # labels = (dst → src) ∪ (src → src) ∪ isolated self-labels.
     member = cur.select(F.col("dst").alias("rid"), F.col("src").alias("entity_id"))
-    center = cur.select(F.col("src").alias("rid"), F.col("src").alias("entity_id"))
-    labels = member.unionByName(center).groupBy("rid").agg(
-        F.min("entity_id").alias("entity_id")
-    )
+    if converged:
+        # Round 6 fast path, exact BY the star-set property the convergence
+        # test just proved: no dst occurs twice and no node is both src and
+        # dst — so member rows are already unique per rid and the only
+        # duplicates are the per-edge center rows. A keys-only dedup of the
+        # centers replaces the groupBy-min: min() over a binary column is not
+        # hash-aggregatable (immutable agg buffer), so the old form paid a
+        # SortAggregate over the whole member ∪ center relation; the dedup
+        # runs as a plain HashAggregate over the (far smaller) center set.
+        # Output multiset is identical (proved by the same property).
+        center = (
+            cur.select("src")
+            .dropDuplicates(["src"])
+            .select(F.col("src").alias("rid"), F.col("src").alias("entity_id"))
+        )
+        labels = member.unionByName(center)
+    else:
+        # max_iterations hit without convergence: the general (non-star-set)
+        # min-label form, unchanged.
+        center = cur.select(
+            F.col("src").alias("rid"), F.col("src").alias("entity_id")
+        )
+        labels = member.unionByName(center).groupBy("rid").agg(
+            F.min("entity_id").alias("entity_id")
+        )
     if nodes is not None:
         labels = (
             nodes.select("rid")
