@@ -105,15 +105,21 @@ def minhash_lsh_pairs(
     """
     rows_per_band = k // bands
     sig = minhash_signature_exploded(docs, id_col, tokens_col, k)
+    # Round 6: the bucket key is a STRUCT (band index + the band's signature
+    # slots) instead of sha256 over their string concatenation. Bucket values
+    # are internal — only the colliding PAIR SET reaches the output — and
+    # struct equality partitions identically to the old digest equality (the
+    # comma-joined longs were collision-free, so the mapping was 1:1). This
+    # drops a per-(doc, band) sha256 + string build and shuffles ~24 bytes of
+    # longs instead of a 64-char hex string through the hot-list aggregate,
+    # the anti-join and the bucket self-join (guide §2.3 "narrower types").
     band_cols = [
-        F.sha2(
-            F.concat_ws(
-                ",",
-                F.lit(b),
-                *[F.element_at("sig", b * rows_per_band + j + 1).cast("string")
-                  for j in range(rows_per_band)],
-            ),
-            256,
+        F.struct(
+            F.lit(b).alias("band"),
+            *[
+                F.element_at("sig", b * rows_per_band + j + 1).alias(f"v{j}")
+                for j in range(rows_per_band)
+            ],
         ).alias("bucket")
         for b in range(bands)
     ]

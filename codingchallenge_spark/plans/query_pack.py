@@ -14,6 +14,7 @@ numpy LSH planes) carry ``None`` SQL → the driver records a rows-only check.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -46,14 +47,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _scan_row_groups(sf_dir: str, name: str) -> int | None:
-    """Total parquet row groups of a testdata table — the scan's EFFECTIVE
-    max parallelism. Spark splits files by byte range, but a task only reads
-    row groups whose start offset falls inside its range, so a file's
-    row-group count (not its split count, which `df.rdd.getNumPartitions()`
-    reports) bounds how many tasks can do real work. Returns None when the
-    path is not locally inspectable (e.g. an object-store URI) — callers
-    fall back to the split count."""
+def _scan_meta(sf_dir: str, name: str) -> tuple[int, int] | None:
+    """(total row groups, total bytes) of a testdata table — the scan's
+    EFFECTIVE max parallelism plus its size. Spark splits files by byte
+    range, but a task only reads row groups whose start offset falls inside
+    its range, so a file's row-group count (not its split count, which
+    `df.rdd.getNumPartitions()` reports) bounds how many tasks can do real
+    work. Returns None when the path is not locally inspectable (e.g. an
+    object-store URI) — callers fall back to the split count."""
     try:
         from pathlib import Path
 
@@ -66,9 +67,21 @@ def _scan_row_groups(sf_dir: str, name: str) -> int | None:
             files = sorted(p for p in path.rglob("*.parquet") if p.is_file())
         else:
             return None
-        return sum(pq.ParquetFile(str(f)).metadata.num_row_groups for f in files)
+        rg = sum(pq.ParquetFile(str(f)).metadata.num_row_groups for f in files)
+        nbytes = sum(f.stat().st_size for f in files)
+        return rg, nbytes
     except Exception:
         return None
+
+
+# Below this input size the whole per-row computation is sub-100 ms serial
+# and the floor's exchange (plus the .rdd partition probe) only adds
+# latency — measured: q_dedup_fingerprint 0.26 s → 0.48 s at sf0.1 with an
+# unconditional floor. 4 MB ≈ one open-cost unit of compact zstd parquet
+# (~500k short-doc rows); env-overridable for other hardware profiles.
+_FLOOR_MIN_BYTES = int(
+    os.environ.get("CCSPARK_FLOOR_MIN_BYTES", str(4 * 1024 * 1024))
+)
 
 
 def _t_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -95,10 +108,16 @@ def _t_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     df = _t(spark, sf_dir, name)
     parallelism = spark.sparkContext.defaultParallelism
-    effective = df.rdd.getNumPartitions()
-    row_groups = _scan_row_groups(sf_dir, name)
-    if row_groups is not None:
-        effective = min(effective, row_groups)
+    meta = _scan_meta(sf_dir, name)
+    if meta is not None:
+        row_groups, nbytes = meta
+        if nbytes < _FLOOR_MIN_BYTES:
+            # Too small for an insurance exchange to pay off — and skipping
+            # the .rdd probe keeps tiny-scale query construction cheap.
+            return df
+        effective = min(df.rdd.getNumPartitions(), row_groups)
+    else:
+        effective = df.rdd.getNumPartitions()
     if effective < parallelism:
         df = df.repartition(parallelism)
     return df
@@ -349,9 +368,17 @@ def q_double_join_agg(spark, sf_dir):
     # big-big fact⋈fact join is a shuffle join at any real scale — the merge
     # hint makes that choice explicit (measured 2.0 s → 1.23 s at sf1.0;
     # SMJ picked over SHJ as the spill-graceful default, within noise of each
-    # other here). The customer dimension still auto-broadcasts (guide §3.1).
+    # other here). SIZE-CONDITIONED like a cost-based optimizer would: below
+    # ~8 MB the broadcast build is cheaper than two extra shuffles (measured
+    # 0.60 s → 0.85 s at sf0.1 with an unconditional hint), so the hint only
+    # fires when the orders input is big — and when the path is not locally
+    # inspectable the production assumption (orders ≫ broadcastable) holds.
+    # The customer dimension still auto-broadcasts (guide §3.1).
     li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders").hint("merge")
+    o = _t(spark, sf_dir, "orders")
+    ometa = _scan_meta(sf_dir, "orders")
+    if ometa is None or ometa[1] >= 8 * 1024 * 1024:
+        o = o.hint("merge")
     c = _t(spark, sf_dir, "customer")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
