@@ -557,6 +557,7 @@ def compact_state(
     run_dir: str,
     out_dir: str,
     num_buckets: int | None = None,
+    tok_buckets: int | None = None,
 ) -> str:
     """Fold a state's chains back into single elements — the periodic
     corpus-proportional event that bounds every per-batch cost.
@@ -595,18 +596,36 @@ def compact_state(
     labels_path = str(out / "labels")
     state.labels.write.parquet(labels_path)
 
+    # Token-postings side (ADVICE r05): compaction is the ONE event that
+    # already pays a corpus-proportional pass, so it is also where (a) a
+    # pre-postings state (older v2 dirs) gains its tok_index — built from the
+    # folded norm at the production-default modulus — and (b) the bucket
+    # modulus can GROW with the corpus via the ``tok_buckets`` parameter
+    # (tbucket recomputed over the folded norm), the same re-bucket role the
+    # sn_index's ``num_buckets`` has always had here. A matching modulus
+    # keeps the cheaper fold-only path (tbucket values stay valid; only the
+    # range clustering bucket-pruning relies on is restored — many appended
+    # chain elements each cover the full tbucket range, one re-clustered
+    # parquet does not).
     tok_chain = None
-    tok_buckets = state.tok_buckets
-    if state.tok_postings is not None and tok_buckets is not None:
-        # Fold the append-only postings overlay and restore the range
-        # clustering bucket-pruning relies on (many appended elements each
-        # cover the full tbucket range; one re-clustered parquet does not).
+    out_tok_buckets = tok_buckets or state.tok_buckets
+    if out_tok_buckets is None and state.tok_postings is None:
+        from codingchallenge_spark.plans.matcher import MatcherConfig
+
+        out_tok_buckets = MatcherConfig().tok_buckets
+    if out_tok_buckets is not None:
         tok_path = str(out / "tok_index")
-        (
-            state.tok_postings.repartitionByRange(
-                spark.sparkContext.defaultParallelism, "tbucket", "tok"
-            ).write.parquet(tok_path)
-        )
+        if (
+            state.tok_postings is not None
+            and out_tok_buckets == state.tok_buckets
+        ):
+            (
+                state.tok_postings.repartitionByRange(
+                    spark.sparkContext.defaultParallelism, "tbucket", "tok"
+                ).write.parquet(tok_path)
+            )
+        else:
+            build_tok_postings(normp, out_tok_buckets).write.parquet(tok_path)
         tok_chain = [tok_path]
 
     write_state_manifest(
@@ -616,6 +635,6 @@ def compact_state(
         labels_chain=[labels_path],
         emit="full",
         tok_chain=tok_chain,
-        tok_buckets=tok_buckets,
+        tok_buckets=out_tok_buckets,
     )
     return str(out)

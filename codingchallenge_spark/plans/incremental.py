@@ -177,7 +177,11 @@ def incremental_token_pairs_state(
     # below adds a driver-side collect (tbs) on top of the main action —
     # without the pin each action would recompute that vocab-sized join.
     # Same pattern as the S pin in delta_sn_pairs / blocking's seam pin.
-    new_cold = new_cold.localCheckpoint()
+    # Lazy (eager=False) like every other pin in this repo (ADVICE r05): the
+    # eager default fired a Spark job at DataFrame-CONSTRUCTION time even if
+    # the caller never executed the plan; the tbs collect just below (or the
+    # first downstream action on the non-postings path) materializes it once.
+    new_cold = new_cold.localCheckpoint(eager=False)
     delta_toks = new_cold.select("tok").distinct()
     if state.tok_postings is not None and state.tok_buckets:
         # Inverted-postings catalog side (round 5): scan the persisted

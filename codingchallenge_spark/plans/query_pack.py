@@ -115,6 +115,11 @@ def _t_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Too small for an insurance exchange to pay off — and skipping
             # the .rdd probe keeps tiny-scale query construction cheap.
             return df
+        if row_groups < parallelism:
+            # Row groups alone already bound effective parallelism below the
+            # session's — the floor applies whatever the split count is, so
+            # the (costlier) .rdd split probe is skipped.
+            return df.repartition(parallelism)
         effective = min(df.rdd.getNumPartitions(), row_groups)
     else:
         effective = df.rdd.getNumPartitions()

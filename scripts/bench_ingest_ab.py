@@ -100,10 +100,16 @@ def main() -> int:
     }
     for label, n in (("small", n_small), ("big", n_big)):
         if args.target_bucket_rows > 0:
+            # Scale BOTH bucket moduli with corpus size (ADVICE r05: a fixed
+            # tok_buckets left a corpus-proportional term in the token-pass
+            # scan at the big level, defeating the flat-at-10x comparison
+            # this flag exists for).
             cfg = MatcherConfig(
-                sn_buckets=max(8, -(-n // args.target_bucket_rows))
+                sn_buckets=max(8, -(-n // args.target_bucket_rows)),
+                tok_buckets=max(8, -(-n // args.target_bucket_rows)),
             )
             out[f"sn_buckets_{label}"] = cfg.sn_buckets
+            out[f"tok_buckets_{label}"] = cfg.tok_buckets
         else:
             cfg = MatcherConfig()
         cat_records = spark.createDataFrame(recs.iloc[:n])

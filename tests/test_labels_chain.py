@@ -173,3 +173,63 @@ def test_compact_state_folds_chains_and_chains_on(
     assert _labels(current_entities(spark, rd3)) == _labels(
         current_entities(spark, rd4)
     )
+
+
+def test_compact_state_builds_and_rebuckets_tok_index(
+    spark, catalog_run, tmp_path
+):
+    """Round 6 (ADVICE r05): compaction (a) gives a PRE-postings state a
+    tok_index built from the folded norm, and (b) re-buckets an existing
+    index when ``tok_buckets`` is passed — tbucket recomputed over the new
+    modulus, postings multiset unchanged."""
+    from pyspark.sql import functions as F
+
+    # (a) strip the postings from a copy of the catalog manifest → legacy
+    # pre-postings state; compaction must add a tok_index at the default
+    # modulus, not silently leave the state index-less forever.
+    legacy = str(tmp_path / "legacy")
+    import shutil
+
+    shutil.copytree(catalog_run, legacy)
+    mpath = Path(legacy) / "state.json"
+    manifest = json.loads(mpath.read_text())
+    manifest.pop("tok_chain", None)
+    manifest.pop("tok_buckets", None)
+    mpath.write_text(json.dumps(manifest))
+    assert cstate.load_catalog_state(spark, legacy).tok_postings is None
+
+    c1 = str(tmp_path / "c1")
+    cstate.compact_state(spark, legacy, c1, num_buckets=8)
+    st1 = cstate.load_catalog_state(spark, c1)
+    assert st1.tok_postings is not None
+    assert st1.tok_buckets == MatcherConfig().tok_buckets
+    # postings content = explode of the folded norm's tokens
+    want = (
+        st1.norm.select(
+            F.col("rid_b").alias("rid"), F.explode("tokens").alias("tok")
+        )
+        .groupBy()
+        .count()
+        .collect()[0][0]
+    )
+    assert st1.tok_postings.count() == want
+
+    # (b) explicit re-bucket: modulus recorded and tbucket recomputed.
+    c2 = str(tmp_path / "c2")
+    cstate.compact_state(spark, c1, c2, num_buckets=8, tok_buckets=7)
+    st2 = cstate.load_catalog_state(spark, c2)
+    assert st2.tok_buckets == 7
+    bad = st2.tok_postings.filter(
+        F.col("tbucket") != F.pmod(F.xxhash64("tok"), F.lit(7)).cast("int")
+    ).count()
+    assert bad == 0
+    # same (tok, rid) multiset as before the re-bucket
+    a = sorted(
+        (r.tok, bytes(r.rid).hex())
+        for r in st1.tok_postings.select("tok", "rid").collect()
+    )
+    b = sorted(
+        (r.tok, bytes(r.rid).hex())
+        for r in st2.tok_postings.select("tok", "rid").collect()
+    )
+    assert a == b
