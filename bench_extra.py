@@ -89,17 +89,17 @@ def docs_toks():
 
 
 def _lsh_tail(sig, band_df_cap=200, persist_buckets=False):
-    """Band buckets → hot cap → self-join → pair dedup (current tail)."""
+    """Band buckets → hot cap → self-join → pair dedup. Mirrors the
+    production tail (struct bucket keys since round 6; the sha256-string
+    numbers early in the round were measured against the pre-change form)."""
     rows_per_band = 2
     band_cols = [
-        F.sha2(
-            F.concat_ws(
-                ",",
-                F.lit(b),
-                *[F.element_at("sig", b * rows_per_band + j + 1).cast("string")
-                  for j in range(rows_per_band)],
-            ),
-            256,
+        F.struct(
+            F.lit(b).alias("band"),
+            *[
+                F.element_at("sig", b * rows_per_band + j + 1).alias(f"v{j}")
+                for j in range(rows_per_band)
+            ],
         ).alias("bucket")
         for b in range(4)
     ]
