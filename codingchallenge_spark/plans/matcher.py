@@ -117,11 +117,18 @@ def resolve_entities(
     if records.rdd.getNumPartitions() < parallelism:
         records = records.repartition(parallelism)
     # norm feeds two blocking passes, two scoring joins, the CC node set and
-    # the final emit — persist it once instead of re-scanning + re-tokenizing
+    # the final emit — pin it once instead of re-scanning + re-tokenizing
     # the input per consumer. (The checkpointed pipeline gets the same effect
     # from its stage sinks.) ``th`` (token-hash fingerprints) is materialized
     # here because its expression is interpreted-eval (normalize.
-    # with_token_hashes) — persisted once, scoring joins it for free.
+    # with_token_hashes) — pinned once, scoring joins it for free.
+    # Round 6: the pin is a lazy localCheckpoint rather than persist() —
+    # the columnar cache build (per-batch compression) cost more than its
+    # read benefit at this relation's shape (A/B: 7.33 vs 8.01 s flagship
+    # minimum at sf1.0, better in every interleaved pair), and the
+    # fault-tolerance tradeoff is the one this plan already makes for the SN
+    # base and every CC round (see operators/blocking.py's documented
+    # replicated-persist alternative for flaky clusters).
     # ``rid_b`` = unhex(rid): every blocking/scoring/CC exchange keys on
     # record ids, and a 32-byte binary halves that key's shuffle bytes vs the
     # 64-char hex string — the dominant cost of the biggest intermediates
@@ -136,7 +143,7 @@ def resolve_entities(
         from codingchallenge_spark.functions.normalize import with_token_hashes32
 
         norm = with_token_hashes32(norm)
-    norm = norm.withColumn("rid_b", F.unhex("rid")).persist()
+    norm = norm.withColumn("rid_b", F.unhex("rid")).localCheckpoint(eager=False)
     work_cols = ["name_norm", "tokens", "th"] + (
         ["th32"] if cfg.int32_prefilter else []
     )
